@@ -1,0 +1,213 @@
+"""v2 duration-class monotonic beam-search step (TPU-native).
+
+Reference semantics: /root/reference/src/v2.rs
+  Each class d predicts `duration_table[d]` output frames for source position
+  t. Hard admissibility constraints (all skipped in test_mode):
+    - diagonal band: cumulative duration must stay within
+      [trunc(max(diag - 0.05*U, 0)), trunc(min(diag + 0.1*U, U))] where
+      diag = U/T * (t+1) in f32 (src/v2.rs:94-104, 131).
+    - overrun prune: drop every class when (T-(t+1))*3 > U (src/v2.rs:106-111).
+    - at the final source position, cumulative duration must equal U exactly
+      (src/v2.rs:135-137) and the hypothesis finishes.
+    - zero_duration_id is pruned unless allow_skip (src/v2.rs:139,152).
+  Guaranteed-progress fallback: the first post-dedup candidate whose duration
+  lies within [-20, 0] of the diagonal is re-injected into the last beam slot
+  (src/v2.rs:282-308). A finished/out-of-range beam emits a single padding
+  candidate (prediction=zero_duration_id, unchanged log-prob, finished)
+  (src/v2.rs:313-323). Advance is (t,u)->(t+1,u+1) unless finished
+  (src/v2.rs:330-331).
+
+The reference panics when the beam empties (src/v2.rs:292); the TPU version
+returns deterministic output plus a `num_survivors` count so callers can mask
+or raise via checkify instead of aborting a whole slice.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .beam_common import select_beams
+
+_EQ_KEYS = (
+    "prediction",
+    "log_prob",
+    "next_t",
+    "next_u",
+    "is_finished",
+    "total_duration",
+)
+
+
+def beam_search_step(
+    h: jax.Array,
+    log_prob_history: jax.Array,
+    is_finished: jax.Array,
+    total_duration: jax.Array,
+    duration_table: jax.Array,
+    t: jax.Array,
+    u: jax.Array,
+    input_length: jax.Array,
+    output_length: jax.Array,
+    *,
+    zero_duration_id: int,
+    allow_skip: bool,
+    test_mode: bool,
+    max_beam_width: int | None = None,
+    return_num_survivors: bool = False,
+):
+    """One v2 beam step for a single utterance.
+
+    Args:
+      h: (W, D) f32 per-beam duration-class log-probs.
+      log_prob_history, is_finished, total_duration, t, u: (W,) beam state.
+      duration_table: (D,) i32 frames-per-class.
+      input_length, output_length: scalar i32 (T, U). In test_mode the
+        reference zeroes output_length at the Python layer
+        (ssnt_tts_tensorflow/__init__.py:47); the api wrapper does the same.
+      zero_duration_id / allow_skip / test_mode: static attrs matching the TF
+        op (ssnt_tts_v2_beam_search_decode_op.cc:39-43).
+
+    Returns:
+      (prediction, log_prob, next_t, next_u, next_is_finished,
+       next_total_duration, beam_branch), each (max_beam_width,)
+      [, num_survivors scalar i32 if return_num_survivors].
+    """
+    W, D = h.shape
+    if max_beam_width is None:
+        max_beam_width = W
+
+    t = t.astype(jnp.int32)
+    u = u.astype(jnp.int32)
+    total_duration = total_duration.astype(jnp.int32)
+    duration_table = duration_table.astype(jnp.int32)
+    T = jnp.asarray(input_length, jnp.int32)
+    U = jnp.asarray(output_length, jnp.int32)
+    hist = log_prob_history
+
+    active = (t < T) & (~is_finished)  # src/v2.rs:119-125
+    last = t == T - 1
+
+    # Candidate grid (W, D): new cumulative duration per class.
+    tot = total_duration[:, None] + duration_table[None, :]
+
+    # Diagonal band in f32 with trunc-toward-zero casts (src/v2.rs:94-104).
+    Uf = U.astype(jnp.float32)
+    diag = Uf / T.astype(jnp.float32) * (t + 1).astype(jnp.float32)  # (W,)
+    lower = jnp.maximum(diag - Uf * 0.05, 0.0).astype(jnp.int32)
+    upper = jnp.minimum(diag + Uf * 0.1, Uf).astype(jnp.int32)
+    band_ok = (tot >= lower[:, None]) & (tot <= upper[:, None])
+
+    overrun = (T - (t + 1)) * 3 > U  # (W,), src/v2.rs:106-111
+    final_len_ok = (~last[:, None]) | (tot == U)
+    class_ids = jnp.arange(D, dtype=jnp.int32)
+    skip_ok = allow_skip | (class_ids != zero_duration_id)  # (D,)
+
+    valid = active[:, None] & skip_ok[None, :]
+    if not test_mode:
+        valid = valid & band_ok & (~overrun)[:, None] & final_len_ok
+
+    fin = jnp.broadcast_to(last[:, None], (W, D))
+    pred = jnp.broadcast_to(class_ids[None, :], (W, D))
+    lp = hist[:, None] + h
+    nt = jnp.where(fin, t[:, None], t[:, None] + 1)
+    nu = jnp.where(fin, u[:, None], u[:, None] + 1)
+    parent = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[:, None], (W, D))
+
+    # Padding candidate for finished/out-of-range beams occupies class slot 0
+    # (the single item the reference emits, src/v2.rs:313-323); relative
+    # beam-major candidate order is preserved.
+    pad = ~active
+    pad0 = pad[:, None] & (class_ids[None, :] == 0)
+    pred = jnp.where(pad0, zero_duration_id, pred)
+    lp = jnp.where(pad0, hist[:, None], lp)
+    nt = jnp.where(pad0, t[:, None], nt)
+    nu = jnp.where(pad0, u[:, None], nu)
+    fin = jnp.where(pad0, True, fin)
+    tot = jnp.where(pad0, total_duration[:, None], tot)
+    valid = valid | pad0
+
+    fields = {
+        "prediction": pred.reshape(-1),
+        "log_prob": lp.reshape(-1),
+        "next_t": nt.reshape(-1),
+        "next_u": nu.reshape(-1),
+        "is_finished": fin.reshape(-1),
+        "total_duration": tot.reshape(-1),
+        "parent_branch": parent.reshape(-1),
+    }
+
+    diag_mask = None
+    if not test_mode:
+        # on_diagonal uses the *candidate's* next_t (src/v2.rs:113-117).
+        diag_next = (
+            Uf / T.astype(jnp.float32) * fields["next_t"].astype(jnp.float32)
+        )
+        diff = fields["total_duration"].astype(jnp.float32) - diag_next
+        diag_mask = (diff >= -20.0) & (diff <= 0.0)
+
+    out = select_beams(
+        fields,
+        valid.reshape(-1),
+        fields["log_prob"],
+        max_beam_width,
+        _EQ_KEYS,
+        diag_mask=diag_mask,
+    )
+    result = (
+        out["prediction"],
+        out["log_prob"],
+        out["next_t"],
+        out["next_u"],
+        out["is_finished"],
+        out["total_duration"],
+        out["parent_branch"],
+    )
+    if return_num_survivors:
+        return result + (out["num_survivors"],)
+    return result
+
+
+def beam_search_decode(
+    h,
+    log_prob_history,
+    is_finished,
+    total_duration,
+    duration_table,
+    t,
+    u,
+    input_length,
+    output_length,
+    beam_width: int | None = None,
+    duration_class_size: int | None = None,
+    zero_duration_id: int = 0,
+    allow_skip: bool = False,
+    test_mode: bool = False,
+):
+    """Batched v2 step, reference Python API parity
+    (ssnt_tts_tensorflow/__init__.py:33-73).
+
+    h: (B, W, D); beam state (B, W); duration_table (D,);
+    input_length/output_length: (B,). In test_mode output_length is zeroed
+    like the reference wrapper (__init__.py:47).
+    """
+    B, W, D = h.shape
+    if beam_width is not None and beam_width != W:
+        raise ValueError(f"beam_width {beam_width} != {W}")
+    if duration_class_size is not None and duration_class_size != D:
+        raise ValueError(f"duration_class_size {duration_class_size} != {D}")
+    input_length = jnp.asarray(input_length, jnp.int32)
+    output_length = jnp.asarray(output_length, jnp.int32)
+    if test_mode:
+        output_length = jnp.zeros_like(input_length)
+
+    step = lambda h_, lph, fin, tot, t_, u_, il, ol: beam_search_step(
+        h_, lph, fin, tot, duration_table, t_, u_, il, ol,
+        zero_duration_id=zero_duration_id,
+        allow_skip=allow_skip,
+        test_mode=test_mode,
+    )
+    return jax.vmap(step)(
+        h, log_prob_history, is_finished, total_duration, t, u,
+        input_length, output_length,
+    )

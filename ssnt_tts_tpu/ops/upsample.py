@@ -1,0 +1,52 @@
+"""Duration -> frame-index upsampling (TPU-native).
+
+Reference semantics: /root/reference/src/v2_util.rs:39-66 — expand per-step
+durations (B, W, T) into frame-level source indices (B, W, U): source index t
+is repeated duration[t] times; positions beyond output_length keep the
+out-of-range fill value (upsample_source_indexes_op.cc:70-76). The reference
+asserts sum(duration) == output_length (src/v2_util.rs:58); here that
+invariant is the caller's responsibility (see checks.upsample_checked).
+
+The repeat-expansion becomes a cumsum + searchsorted: output frame j maps to
+the first t whose cumulative duration exceeds j, which skips zero-duration
+positions exactly like the reference's empty vec![].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def upsample_kernel(duration, output_length, max_u: int, fill_value):
+    """duration (T,), output_length scalar -> (max_u,) source indices."""
+    ends = jnp.cumsum(duration.astype(jnp.int32))
+    j = jnp.arange(max_u, dtype=jnp.int32)
+    idx = jnp.searchsorted(ends, j, side="right").astype(jnp.int32)
+    idx = jnp.minimum(idx, duration.shape[0] - 1)
+    return jnp.where(j < output_length, idx, jnp.int32(fill_value))
+
+
+def upsample_source_indexes(
+    duration,
+    output_length,
+    out_of_range_source_index: int,
+    beam_width: int | None = None,
+    max_u: int | None = None,
+):
+    """Batched upsampling, reference API parity
+    (ssnt_tts_tensorflow/__init__.py:85-96).
+
+    duration: (B, W, T) i32; output_length: (B, W) i32. The reference computes
+    max_u = reduce_max(output_length) dynamically; JAX shapes are static, so
+    callers inside jit must pass `max_u` explicitly; outside jit it is derived
+    from output_length.
+    """
+    duration = jnp.asarray(duration, jnp.int32)
+    output_length = jnp.asarray(output_length, jnp.int32)
+    if max_u is None:
+        max_u = int(jax.device_get(jnp.max(output_length)))
+    kern = lambda d, ol: upsample_kernel(
+        d, ol, max_u, out_of_range_source_index
+    )
+    return jax.vmap(jax.vmap(kern))(duration, output_length)
