@@ -1,0 +1,147 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
+
+Primary metric (BASELINE.md): SSNT lattice forward+backward throughput in
+Mcells/s/chip at the BASELINE config-1 shape (B=32, 80 source tokens, 400 mel
+frames). vs_baseline is measured / north-star target, where the target is 70%
+of the HBM roofline for this memory-bound kernel (the reference publishes no
+numbers — BASELINE.md).
+
+Roofline model: the fused fwd+bwd DP moves ~56 B/cell of HBM traffic
+(fwd: read le/ls/lf 12B + write alpha 4B; bwd: read le/ls/lf/alpha 16B +
+write 3 grads 12B + beta traffic ~12B). On a v5e chip (~819 GB/s) that is
+~14.6 Gcells/s; target = 0.7 * roofline.
+
+Extras: decode audio-seconds/s at beam=8 (frame hop 12.5 ms), and lattice
+forward-only throughput.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _bench(fn, *args, iters=20, warmup=3):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ssnt_tts_tpu.ops import lattice
+
+    dev = jax.devices()[0]
+    extras = {"device": str(dev), "platform": dev.platform}
+
+    # ---- primary: lattice fwd+bwd (B=32, T=80 tokens, U=400 frames) ----
+    B, T, U = 32, 80, 400
+    rng = np.random.default_rng(0)
+    le = jnp.asarray(
+        np.log(rng.uniform(0.1, 0.9, (B, T, U))), jnp.float32
+    )
+    ls = jnp.log1p(-jnp.exp(le))
+    lf = jnp.asarray(rng.normal(0, 0.5, (B, T, U)), jnp.float32)
+    T_b = jnp.full((B,), T, jnp.int32)
+    U_b = jnp.full((B,), U, jnp.int32)
+
+    grad_fn = jax.jit(
+        jax.grad(
+            lambda a, b, c: jnp.sum(lattice.ssnt_loss(a, b, c, T_b, U_b)),
+            argnums=(0, 1, 2),
+        )
+    )
+    dt_fwdbwd = _bench(grad_fn, le, ls, lf)
+    cells = B * T * U
+    mcells_fwdbwd = cells / dt_fwdbwd / 1e6
+
+    fwd_fn = jax.jit(lambda a, b, c: lattice.ssnt_loss(a, b, c, T_b, U_b))
+    dt_fwd = _bench(fwd_fn, le, ls, lf)
+    extras["lattice_fwd_Mcells_per_s"] = round(cells / dt_fwd / 1e6, 1)
+    extras["lattice_shape"] = f"B{B}xT{T}xU{U}"
+
+    # ---- decode audio-seconds/s @ beam=8 ----
+    try:
+        from ssnt_tts_tpu.models import SSNTModel
+        from ssnt_tts_tpu.parallel import decode as decode_lib
+        from ssnt_tts_tpu.parallel import train as train_lib
+        from ssnt_tts_tpu.utils.config import ModelConfig, TrainConfig
+
+        cfg = ModelConfig(
+            vocab_size=128, mel_dim=80, encoder_dim=256, encoder_layers=2,
+            encoder_heads=4, decoder_dim=256, joint_rank=64,
+        )
+        model = SSNTModel(cfg)
+        Bd, Td, Ud, W = 32, 80, 400, 8
+        batch = {
+            "tokens": jnp.asarray(
+                rng.integers(1, cfg.vocab_size, (Bd, Td)), jnp.int32
+            ),
+            "mel": jnp.asarray(
+                rng.normal(0, 1, (Bd, Ud, cfg.mel_dim)), jnp.float32
+            ),
+            "input_length": jnp.full((Bd,), Td, jnp.int32),
+            "output_length": jnp.full((Bd,), Ud, jnp.int32),
+        }
+        state = train_lib.init_train_state(
+            model, jax.random.PRNGKey(0), batch, TrainConfig(warmup_steps=2)
+        )
+        dec_fn = jax.jit(
+            lambda p, tok, il: decode_lib.beam_decode(
+                model, p, tok, il, max_frames=Ud, beam_width=W
+            )
+        )
+        dt_dec = _bench(
+            dec_fn, state.params, batch["tokens"], batch["input_length"],
+            iters=5, warmup=2,
+        )
+        frame_hop_s = 0.0125
+        audio_s_per_s = Bd * Ud * frame_hop_s / dt_dec
+        extras["decode_audio_s_per_s_beam8"] = round(audio_s_per_s, 1)
+        extras["decode_ms_per_frame_batch32"] = round(
+            dt_dec / Ud * 1e3, 3
+        )
+
+        train_fn = jax.jit(
+            lambda s, b: train_lib.train_step(
+                model, train_lib.make_optimizer(TrainConfig(warmup_steps=2)),
+                s, b,
+            )[1]["loss"]
+        )
+        dt_train = _bench(train_fn, state, batch, iters=5, warmup=2)
+        extras["train_step_ms_B32"] = round(dt_train * 1e3, 1)
+    except Exception as e:  # pragma: no cover
+        extras["decode_error"] = repr(e)
+
+    # ---- roofline target ----
+    hbm_gbps = 819.0 if dev.platform != "cpu" else 50.0
+    bytes_per_cell = 56.0
+    roofline_mcells = hbm_gbps * 1e9 / bytes_per_cell / 1e6
+    target = 0.7 * roofline_mcells
+    extras["roofline_Mcells_per_s"] = round(roofline_mcells, 1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "lattice_fwdbwd_Mcells_per_s_chip",
+                "value": round(mcells_fwdbwd, 1),
+                "unit": "Mcells/s",
+                "vs_baseline": round(mcells_fwdbwd / target, 3),
+                "extras": extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

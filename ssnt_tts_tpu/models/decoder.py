@@ -1,0 +1,157 @@
+"""Mel decoder + lattice joint network (TPU-first factorized design).
+
+The SSNT loss needs, for every lattice point (t, u):
+  - transition log-probs log_emit/log_shift (B, T, U)
+  - frame log-likelihood log p(y_u | t)     (B, T, U)
+
+A naive additive-tanh joint materializes a (B, T, U, H) tensor — HBM-hostile.
+This module instead uses factorizations whose lattice-sized intermediates are
+produced directly by MXU contractions:
+
+  transition logits:  logit_k[t, u] = <p_k(enc_t), q_k(dec_u)> + b_k(t) + b_k(u)
+      -> one (B, T, 2R) x (B, U, 2R) batched matmul.
+  frame likelihood:   mel_pred[t, u] = a(enc_t) + b(dec_u), isotropic Gaussian
+      -> log p = -0.5/sig^2 * (||c_u||^2 - 2 a_t . c_u + ||a_t||^2) + const
+         with c_u = y_u - b_u: ONE (B, T, M) x (B, U, M) matmul plus rank-1
+         broadcasts; the (B, T, U, M) prediction tensor never exists.
+
+Each joint exposes both a full-lattice method (training) and a per-step
+method (decode) sharing the same parameters, so beam decode scores are
+consistent with the training loss.
+
+The autoregressive state over mel frames is a GRU (teacher-forced scan during
+training, stepped during decode).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class MelPrenet(nn.Module):
+    dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, mel):
+        h = nn.Dense(self.dim, dtype=self.dtype)(mel)
+        h = nn.relu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype)(h)
+        return nn.relu(h)
+
+
+class ARDecoderCell(nn.Module):
+    """GRU cell over generated mel frames; shared by training (scan over the
+    teacher-forced sequence) and decode (stepped per output frame)."""
+
+    dim: int
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.prenet = MelPrenet(self.dim, dtype=self.dtype)
+        self.cell = nn.GRUCell(self.dim, dtype=self.dtype)
+
+    def __call__(self, carry, mel_frame):
+        x = self.prenet(mel_frame)
+        new_carry, out = self.cell(carry, x)
+        return new_carry, out.astype(jnp.float32)
+
+    @staticmethod
+    def initial_carry(batch: int, dim: int):
+        return jnp.zeros((batch, dim), jnp.float32)
+
+
+class TransitionJoint(nn.Module):
+    """Factorized emit/shift logits; rank R keeps the bilinear interaction
+    MXU-shaped. Normalized per lattice point."""
+
+    rank: int = 64
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.enc_proj = nn.Dense(2 * self.rank, dtype=self.dtype)
+        self.dec_pre = nn.Dense(self.rank, dtype=self.dtype)
+        self.dec_proj = nn.Dense(2 * self.rank, dtype=self.dtype)
+        self.enc_bias = nn.Dense(2, dtype=jnp.float32)
+        self.dec_bias = nn.Dense(2, dtype=jnp.float32)
+
+    def _factors(self, enc, dec):
+        p = self.enc_proj(enc)  # (..., T, 2R)
+        q = self.dec_proj(nn.tanh(self.dec_pre(dec)))  # (..., U, 2R)
+        return p, q
+
+    def __call__(self, enc, dec) -> Tuple[jax.Array, jax.Array]:
+        """Full lattice: enc (B, T, H), dec (B, U, H) -> two (B, T, U)."""
+        R = self.rank
+        p, q = self._factors(enc, dec)
+        B, T = p.shape[0], p.shape[1]
+        U = q.shape[1]
+        p = p.reshape(B, T, 2, R)
+        q = q.reshape(B, U, 2, R)
+        logits = jnp.einsum(
+            "btkr,bukr->btuk", p, q, preferred_element_type=jnp.float32
+        )
+        logits = (
+            logits
+            + self.enc_bias(enc)[:, :, None, :]
+            + self.dec_bias(dec)[:, None, :, :]
+        )
+        le, ls = logits[..., 0], logits[..., 1]
+        norm = jnp.logaddexp(le, ls)
+        return le - norm, ls - norm
+
+    def step(self, enc_t, dec_state) -> jax.Array:
+        """Per-step decode scores: enc_t (B, W, H) gathered at each beam's
+        source position, dec_state (B, W, H) -> (B, W, 2) log-probs — the
+        `h` input of the v1 beam step (src/lib.rs:19-29)."""
+        R = self.rank
+        p, q = self._factors(enc_t, dec_state)
+        p = p.reshape(*p.shape[:-1], 2, R)
+        q = q.reshape(*q.shape[:-1], 2, R)
+        logits = jnp.sum(p * q, axis=-1).astype(jnp.float32)
+        logits = logits + self.enc_bias(enc_t) + self.dec_bias(dec_state)
+        return nn.log_softmax(logits, axis=-1)
+
+
+class FrameJoint(nn.Module):
+    """Isotropic-Gaussian frame log-likelihood over the full lattice, and the
+    matching decode-time point prediction a(enc_t)+b(dec_u)."""
+
+    mel_dim: int
+    dtype: Any = jnp.bfloat16
+    log_sigma_init: float = 0.0
+
+    def setup(self):
+        self.enc_mel = nn.Dense(self.mel_dim, dtype=self.dtype)
+        self.dec_mel = nn.Dense(self.mel_dim, dtype=self.dtype)
+        self.log_sigma = self.param(
+            "log_sigma", lambda k: jnp.array(self.log_sigma_init, jnp.float32)
+        )
+
+    def __call__(self, enc, dec, mel_target) -> jax.Array:
+        """Full lattice: -> (B, T, U) log-likelihoods."""
+        M = self.mel_dim
+        a = self.enc_mel(enc).astype(jnp.float32)  # (B, T, M)
+        b = self.dec_mel(dec).astype(jnp.float32)  # (B, U, M)
+        c = mel_target.astype(jnp.float32) - b
+        inv_var = jnp.exp(-2.0 * self.log_sigma)
+        cross = jnp.einsum(
+            "btm,bum->btu", a, c, preferred_element_type=jnp.float32
+        )
+        sq_c = jnp.sum(c * c, axis=-1)  # (B, U)
+        sq_a = jnp.sum(a * a, axis=-1)  # (B, T)
+        sq_err = sq_c[:, None, :] - 2.0 * cross + sq_a[:, :, None]
+        const = -0.5 * M * (
+            jnp.log(2.0 * jnp.pi) + 2.0 * self.log_sigma
+        )
+        return -0.5 * inv_var * sq_err + const
+
+    def predict(self, enc_t, dec_state) -> jax.Array:
+        """Decode-time mel frame: (B, W, H) x2 -> (B, W, M)."""
+        a = self.enc_mel(enc_t)
+        b = self.dec_mel(dec_state)
+        return (a + b).astype(jnp.float32)

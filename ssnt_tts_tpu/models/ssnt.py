@@ -1,0 +1,178 @@
+"""SSNTModel — the flagship end-to-end SSNT-TTS network.
+
+Ties together (all TPU-first, all under one flax module so training and
+decode share parameters):
+
+  TextEncoder -> enc (B, T, H)
+  ARDecoderCell (teacher-forced GRU scan over mel frames) -> dec (B, U, H)
+  TransitionJoint / FrameJoint -> (B, T, U) lattice quantities
+  ops.lattice.ssnt_loss -> per-example NLL  (training)
+  DurationHead / ToneHead -> per-position class log-probs consumed by the
+    v2 / tone-latent beam steps (decode-time conditioning, reference h inputs)
+
+The reference repo holds only the decode kernels (SURVEY.md §0); this model
+supplies the L5 layer the reference assumed (the absent TF model repo),
+re-designed for TPU: static shapes, scan-based AR state, matmul-factorized
+lattice joints, bf16 compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ssnt_tts_tpu.models.decoder import (
+    ARDecoderCell,
+    FrameJoint,
+    TransitionJoint,
+)
+from ssnt_tts_tpu.models.encoder import DurationHead, TextEncoder, ToneHead
+from ssnt_tts_tpu.models.layers import length_mask
+from ssnt_tts_tpu.ops import lattice
+from ssnt_tts_tpu.utils.config import ModelConfig
+
+
+class SSNTModel(nn.Module):
+    config: ModelConfig
+
+    def setup(self):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        self.encoder = TextEncoder(
+            vocab_size=cfg.vocab_size,
+            dim=cfg.encoder_dim,
+            num_layers=cfg.encoder_layers,
+            num_heads=cfg.encoder_heads,
+            dtype=dtype,
+        )
+        self.ar_cell = ARDecoderCell(cfg.decoder_dim, dtype=dtype)
+        self.transition = TransitionJoint(rank=cfg.joint_rank, dtype=dtype)
+        self.frame = FrameJoint(mel_dim=cfg.mel_dim, dtype=dtype)
+        self.duration_head = DurationHead(
+            cfg.duration_class_size, dtype=dtype
+        )
+        self.tone_head = ToneHead(cfg.tone_class_size, dtype=dtype)
+
+    # ------------------------------------------------------------- pieces
+
+    def encode(self, tokens, input_length=None):
+        return self.encoder(tokens, input_length)
+
+    def decoder_states(self, mel_target):
+        """Teacher-forced AR states: dec[u] summarizes frames < u.
+
+        mel_target (B, U, M) -> (B, U, H); frame 0 sees a zero frame.
+        """
+        B, U, M = mel_target.shape
+        shifted = jnp.concatenate(
+            [jnp.zeros((B, 1, M), mel_target.dtype), mel_target[:, :-1]],
+            axis=1,
+        )
+        carry0 = ARDecoderCell.initial_carry(B, self.config.decoder_dim)
+
+        scan = nn.scan(
+            lambda cell, c, x: cell(c, x),
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        _, dec = scan(self.ar_cell, carry0, shifted)
+        return dec
+
+    def lattice_quantities(self, enc, dec, mel_target):
+        log_emit, log_shift = self.transition(enc, dec)
+        log_frame = self.frame(enc, dec, mel_target)
+        return log_emit, log_shift, log_frame
+
+    # ------------------------------------------------------------ training
+
+    def __call__(self, tokens, mel_target, input_length=None,
+                 output_length=None):
+        """Training forward: per-example SSNT NLL (B,)."""
+        enc = self.encode(tokens, input_length)
+        dec = self.decoder_states(mel_target)
+        le, ls, lf = self.lattice_quantities(enc, dec, mel_target)
+        return lattice.ssnt_loss(le, ls, lf, input_length, output_length)
+
+    def loss(self, tokens, mel_target, input_length=None, output_length=None,
+             duration_target=None, tone_target=None):
+        """Total training loss (scalar) + metrics dict.
+
+        Auxiliary heads train from optional targets: durations (B, T) i32 and
+        tones (B, T) i32, masked by input_length.
+        """
+        B, U, M = mel_target.shape
+        T = tokens.shape[1]
+        enc = self.encode(tokens, input_length)
+        dec = self.decoder_states(mel_target)
+        le, ls, lf = self.lattice_quantities(enc, dec, mel_target)
+        nll = lattice.ssnt_loss(le, ls, lf, input_length, output_length)
+        if output_length is None:
+            frames = jnp.full((B,), U, jnp.float32)
+        else:
+            frames = output_length.astype(jnp.float32)
+        loss = jnp.mean(nll / jnp.maximum(frames, 1.0))
+        metrics = {"nll_per_frame": loss}
+
+        tmask = (
+            length_mask(input_length, T)
+            if input_length is not None
+            else jnp.ones((B, T), bool)
+        )
+        denom = jnp.maximum(jnp.sum(tmask), 1)
+        if duration_target is not None:
+            dlogp = self.duration_head(enc)  # (B, T, D)
+            dur_nll = -jnp.take_along_axis(
+                dlogp, duration_target[..., None], axis=-1
+            )[..., 0]
+            dur_loss = jnp.sum(jnp.where(tmask, dur_nll, 0.0)) / denom
+            loss = loss + dur_loss
+            metrics["duration_nll"] = dur_loss
+        if tone_target is not None:
+            klogp = self.tone_head(enc)  # (B, T, K)
+            tone_nll = -jnp.take_along_axis(
+                klogp, tone_target[..., None], axis=-1
+            )[..., 0]
+            tone_loss = jnp.sum(jnp.where(tmask, tone_nll, 0.0)) / denom
+            loss = loss + tone_loss
+            metrics["tone_nll"] = tone_loss
+        metrics["loss"] = loss
+        return loss, metrics
+
+    # ------------------------------------------------------------- heads
+
+    def duration_log_probs(self, tokens, input_length=None):
+        """(B, T, D) log-probs — the v2 beam step's `h` input."""
+        return self.duration_head(self.encode(tokens, input_length))
+
+    def tone_log_probs(self, tokens, input_length=None):
+        """(B, T, K) log-probs — the tone-latent beam step's `h` input."""
+        return self.tone_head(self.encode(tokens, input_length))
+
+    # ------------------------------------------------------------- decode
+
+    def decode_step(self, enc, beam_t, dec_state, prev_mel):
+        """One decode step for all beams of all utterances.
+
+        enc (B, T, H); beam_t (B, W) current source positions;
+        dec_state (B, W, H) GRU carries; prev_mel (B, W, M).
+        Returns (h (B, W, 2) transition log-probs, new dec_state, mel (B,W,M))
+        — h feeds ops.beam_v1.beam_search_step.
+        """
+        enc_t = jnp.take_along_axis(
+            enc, beam_t[..., None], axis=1
+        )  # (B, W, H)
+        B, W, H = dec_state.shape
+        flat_state, flat_out = self.ar_cell(
+            dec_state.reshape(B * W, H), prev_mel.reshape(B * W, -1)
+        )
+        new_state = flat_state.reshape(B, W, H)
+        dec_out = flat_out.reshape(B, W, -1)
+        h = self.transition.step(enc_t, dec_out)
+        mel = self.frame.predict(enc_t, dec_out)
+        return h, new_state, mel

@@ -1,0 +1,105 @@
+"""Typed configuration for the whole framework.
+
+The reference has no config system — its knobs are TF op attrs plus
+hard-coded constants the authors left `ToDo: configure` notes on
+(src/v2.rs:96-100,109,116). Everything is promoted to dataclass fields here,
+including those constants, with the reference's values as defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamConfig:
+    """v1 emit/shift beam search (src/lib.rs)."""
+
+    beam_width: int = 8
+    max_beam_width: Optional[int] = None  # defaults to beam_width
+
+    def resolved_max_width(self) -> int:
+        return self.max_beam_width or self.beam_width
+
+
+@dataclasses.dataclass(frozen=True)
+class V2BeamConfig:
+    """v2 duration-class beam search (src/v2.rs), incl. the reference's
+    hard-coded constants promoted to fields."""
+
+    beam_width: int = 8
+    duration_class_size: int = 10
+    zero_duration_id: int = 0
+    allow_skip: bool = False
+    test_mode: bool = False
+    # src/v2.rs:98 (+10% of total frames)
+    band_upper_frac: float = 0.1
+    # src/v2.rs:100 (-5% of total frames)
+    band_lower_frac: float = 0.05
+    # src/v2.rs:109 (min duration per remaining source position)
+    overrun_multiplier: int = 3
+    # src/v2.rs:116 (diagonal re-injection window, frames)
+    diagonal_window: Tuple[float, float] = (-20.0, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ToneBeamConfig:
+    """Tone-latent beam search (src/tone_latent.rs)."""
+
+    beam_width: int = 8
+    tone_class_size: int = 8
+    empty_tone_id: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Flagship SSNT-TTS model."""
+
+    vocab_size: int = 256
+    mel_dim: int = 80
+    encoder_dim: int = 256
+    encoder_layers: int = 4
+    encoder_heads: int = 4
+    decoder_dim: int = 256
+    joint_rank: int = 64
+    duration_class_size: int = 10
+    tone_class_size: int = 8
+    dtype: str = "bfloat16"
+
+
+def tiny_model_config(**overrides) -> ModelConfig:
+    """Small config for tests/dryruns."""
+    base = dict(
+        vocab_size=32,
+        mel_dim=8,
+        encoder_dim=32,
+        encoder_layers=1,
+        encoder_heads=2,
+        decoder_dim=32,
+        joint_rank=8,
+        duration_class_size=5,
+        tone_class_size=4,
+        dtype="float32",
+    )
+    base.update(overrides)
+    return ModelConfig(**base)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-3
+    warmup_steps: int = 1000
+    weight_decay: float = 1e-2
+    grad_clip_norm: float = 1.0
+    batch_size: int = 256
+    max_input_length: int = 80
+    max_output_length: int = 400
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. data * model must equal the device count."""
+
+    data: int = 1
+    model: int = 1
