@@ -3,8 +3,10 @@ from ssnt_tts_tpu.ops import (
     beam_common,
     beam_v1,
     beam_v2,
+    checks,
     edit_distance,
     lattice,
+    lattice_pallas,
     tone_latent,
     upsample,
 )
@@ -14,8 +16,10 @@ __all__ = [
     "beam_common",
     "beam_v1",
     "beam_v2",
+    "checks",
     "edit_distance",
     "lattice",
+    "lattice_pallas",
     "tone_latent",
     "upsample",
 ]

@@ -1,0 +1,274 @@
+"""Pallas TPU kernels for the SSNT forward-backward lattice DP.
+
+Design (see ops/lattice.py for the math): the DP is column-parallel in u, so
+each kernel is a sequential walk over output-frame columns with pure
+(B, T)-vector work per column — VPU elementwise ops with T on the 128-lane
+axis and B on sublanes. The grid streams U in chunks; Pallas's grid pipeline
+double-buffers the HBM->VMEM loads of the (CHUNK, B, T) blocks while the
+carry column lives in VMEM scratch across grid steps. Layout is (U, B, T)
+time-major so each column is a contiguous (B, T) tile.
+
+Forward:  alpha[u] = lf[u] + logaddexp(alpha[u-1] + le[u-1],
+                                       shift_t(alpha[u-1] + ls[u-1]))
+Backward: beta[u]  = logaddexp(le[u] + lf[u+1] + beta[u+1],
+                               ls[u] + shift_t^-1(lf[u+1] + beta[u+1]))
+with per-example re-initialization at u == U_b - 1 (ragged batches handled
+inside the kernel via masks on iota vs the length vectors — one fixed-shape
+kernel serves any batch).
+
+The public ssnt_loss_pallas mirrors ops.lattice.ssnt_loss (same custom_vjp
+posterior math, verified equal in tests/test_lattice_pallas.py); posteriors
+are computed by XLA elementwise fusions over the Pallas-produced alpha/beta.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ssnt_tts_tpu.ops.lattice import (
+    NEG,
+    _canonicalize,
+    _gather_logz,
+)
+
+_INTERPRET = False  # flipped by tests on the CPU backend
+
+
+def _logaddexp(a, b):
+    m = jnp.maximum(a, b)
+    return m + jnp.log1p(jnp.exp(-jnp.abs(a - b)))
+
+
+def _shift_down_t(x):
+    """x[..., t] -> value from t-1 (row 0 gets NEG). Lane-axis shift."""
+    rolled = pltpu.roll(x, shift=1, axis=1)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(t_ids == 0, NEG, rolled)
+
+
+def _shift_up_t(x):
+    """x[..., t] -> value from t+1 (last row gets NEG)."""
+    T = x.shape[1]
+    rolled = pltpu.roll(x, shift=-1, axis=1)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(t_ids == T - 1, NEG, rolled)
+
+
+# ------------------------------------------------------------------ forward
+
+def _fwd_kernel(le_ref, ls_ref, lf_ref, alpha_out_ref,
+                alpha_s, le_s, ls_s, *, chunk):
+    B, T = alpha_s.shape
+    # Hoisted: the interpret-mode HLO interpreter cannot substitute
+    # program_id inside nested (fori_loop) jaxprs.
+    block_id = pl.program_id(0)
+
+    def col(j, _):
+        u_global = block_id * chunk + j
+
+        @pl.when(u_global == 0)
+        def _():
+            t_ids = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+            alpha_s[:] = jnp.where(t_ids == 0, lf_ref[0], NEG)
+
+        @pl.when(u_global > 0)
+        def _():
+            stay = alpha_s[:] + le_s[:]
+            moved = _shift_down_t(alpha_s[:] + ls_s[:])
+            alpha_s[:] = lf_ref[j] + _logaddexp(stay, moved)
+
+        alpha_out_ref[j] = alpha_s[:]
+        le_s[:] = le_ref[j]
+        ls_s[:] = ls_ref[j]
+        return 0
+
+    jax.lax.fori_loop(0, chunk, col, 0)
+
+
+def forward_alphas_pallas(le, ls, lf, *, chunk: int = 16):
+    """(U, B, T) inputs -> (U, B, T) alphas. U must be a multiple of chunk
+    (callers pad)."""
+    U, B, T = le.shape
+    assert U % chunk == 0, (U, chunk)
+    grid = (U // chunk,)
+    block = pl.BlockSpec(
+        (chunk, B, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, chunk=chunk),
+        grid=grid,
+        in_specs=[block, block, block],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct((U, B, T), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((B, T), jnp.float32),
+            pltpu.VMEM((B, T), jnp.float32),
+            pltpu.VMEM((B, T), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(le, ls, lf)
+
+
+# ----------------------------------------------------------------- backward
+
+def _bwd_kernel(in_len_ref, out_len_ref, le_ref, ls_ref, lf_ref,
+                beta_out_ref, beta_s, lf_s, *, chunk, total_u):
+    B, T = beta_s.shape
+    nblocks = pl.num_programs(0)
+    block_id = pl.program_id(0)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+    is_last_t = t_ids == in_len_ref[:] - 1  # (B, T) via broadcast of (B, 1)
+    out_len = out_len_ref[:]  # (B, 1)
+
+    def col(jj, _):
+        j = chunk - 1 - jj  # walk columns backward within the block
+        u_global = (nblocks - 1 - block_id) * chunk + j
+
+        cont = lf_s[:] + beta_s[:]
+        rec = _logaddexp(le_ref[j] + cont, ls_ref[j] + _shift_up_t(cont))
+        init_col = jnp.where(is_last_t, le_ref[j], NEG)
+        beta_s[:] = jnp.where(u_global == out_len - 1, init_col, rec)
+        beta_out_ref[j] = beta_s[:]
+        lf_s[:] = lf_ref[j]
+        return 0
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        beta_s[:] = jnp.full((B, T), NEG)
+        lf_s[:] = jnp.full((B, T), NEG)
+
+    jax.lax.fori_loop(0, chunk, col, 0)
+
+
+def backward_betas_pallas(le, ls, lf, input_length, output_length,
+                          *, chunk: int = 16):
+    """(U, B, T) inputs -> (U, B, T) betas, streaming blocks in reverse."""
+    U, B, T = le.shape
+    assert U % chunk == 0
+    nblocks = U // chunk
+    rev = lambda i: (nblocks - 1 - i, 0, 0)
+    block_rev = pl.BlockSpec(
+        (chunk, B, T), rev, memory_space=pltpu.VMEM
+    )
+    len_spec = pl.BlockSpec(
+        (B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, chunk=chunk, total_u=U),
+        grid=(nblocks,),
+        in_specs=[len_spec, len_spec, block_rev, block_rev, block_rev],
+        out_specs=block_rev,
+        out_shape=jax.ShapeDtypeStruct((U, B, T), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((B, T), jnp.float32),
+            pltpu.VMEM((B, T), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(
+        input_length.reshape(B, 1).astype(jnp.int32),
+        output_length.reshape(B, 1).astype(jnp.int32),
+        le, ls, lf,
+    )
+
+
+# ------------------------------------------------------------- public loss
+
+def _pad_u(x, chunk):
+    U = x.shape[0]
+    pad = (-U) % chunk
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], NEG, x.dtype)], axis=0
+        )
+    return x
+
+
+def _loss_fwd_impl(log_emit, log_shift, log_frame, input_length,
+                   output_length, chunk):
+    le = jnp.transpose(log_emit, (2, 0, 1))
+    ls = jnp.transpose(log_shift, (2, 0, 1))
+    lf = jnp.transpose(log_frame, (2, 0, 1))
+    U = le.shape[0]
+    alphas = forward_alphas_pallas(
+        _pad_u(le, chunk), _pad_u(ls, chunk), _pad_u(lf, chunk), chunk=chunk
+    )[:U]
+    logz = _gather_logz(alphas, le, input_length, output_length)
+    return logz, (le, ls, lf, alphas)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _core(log_emit, log_shift, log_frame, input_length, output_length,
+          chunk):
+    logz, _ = _loss_fwd_impl(
+        log_emit, log_shift, log_frame, input_length, output_length, chunk
+    )
+    return -logz
+
+
+def _core_fwd(log_emit, log_shift, log_frame, input_length, output_length,
+              chunk):
+    logz, (le, ls, lf, alphas) = _loss_fwd_impl(
+        log_emit, log_shift, log_frame, input_length, output_length, chunk
+    )
+    return -logz, (le, ls, lf, alphas, logz, input_length, output_length)
+
+
+def _core_bwd(chunk, res, g):
+    le, ls, lf, alphas, logz, input_length, output_length = res
+    U, B, T = le.shape
+    betas = backward_betas_pallas(
+        _pad_u(le, chunk), _pad_u(ls, chunk), _pad_u(lf, chunk),
+        input_length, output_length, chunk=chunk,
+    )[:U]
+
+    # Posterior math identical to ops.lattice._ssnt_loss_bwd; XLA fuses these
+    # elementwise passes over the Pallas-produced alpha/beta.
+    u_idx = jnp.arange(U)[:, None, None]
+    t_idx = jnp.arange(T)[None, None, :]
+    in_len = input_length[None, :, None]
+    out_len = output_length[None, :, None]
+    valid = (t_idx < in_len) & (u_idx < out_len)
+    is_last_u = u_idx == out_len - 1
+    is_last_t = t_idx == in_len - 1
+
+    lf_beta = lf + betas
+    lf_beta_next_u = jnp.concatenate(
+        [lf_beta[1:], jnp.full((1, B, T), NEG)], axis=0
+    )
+    cont_emit = jnp.where(
+        is_last_u, jnp.where(is_last_t, 0.0, NEG), lf_beta_next_u
+    )
+    shifted = jnp.concatenate(
+        [lf_beta_next_u[:, :, 1:], jnp.full((U, B, 1), NEG)], axis=2
+    )
+    cont_shift = jnp.where(is_last_u, NEG, shifted)
+
+    logz_b = logz[None, :, None]
+    degenerate = logz_b <= NEG / 2
+
+    def post(score):
+        s = jnp.minimum(score - logz_b, 30.0)
+        return jnp.where(valid & ~degenerate, jnp.exp(s), 0.0)
+
+    gB = g[None, :, None]
+    d_le = jnp.transpose(-post(alphas + le + cont_emit) * gB, (1, 2, 0))
+    d_ls = jnp.transpose(-post(alphas + ls + cont_shift) * gB, (1, 2, 0))
+    d_lf = jnp.transpose(-post(alphas + betas) * gB, (1, 2, 0))
+    return d_le, d_ls, d_lf, None, None
+
+
+_core.defvjp(_core_fwd, _core_bwd)
+
+
+def ssnt_loss_pallas(log_emit, log_shift, log_frame=None, input_length=None,
+                     output_length=None, *, chunk: int = 16):
+    """Drop-in Pallas-accelerated ssnt_loss (same semantics/gradients as
+    ops.lattice.ssnt_loss)."""
+    args = _canonicalize(log_emit, log_shift, log_frame, input_length,
+                         output_length)
+    return _core(*args, chunk)

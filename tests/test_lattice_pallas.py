@@ -1,0 +1,90 @@
+"""Pallas lattice kernels vs the XLA reference implementation.
+
+Runs in interpreter mode on the CPU backend (same kernel code path the TPU
+compiles); bench.py exercises the compiled kernels on hardware.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ssnt_tts_tpu.ops import lattice, lattice_pallas
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(lattice_pallas, "_INTERPRET", True)
+
+
+def rand_inputs(rng, B, T, U):
+    le = np.log(rng.uniform(0.1, 0.9, (B, T, U))).astype(np.float32)
+    ls = np.log1p(-np.exp(le)).astype(np.float32)
+    lf = rng.normal(0, 0.5, (B, T, U)).astype(np.float32)
+    return le, ls, lf
+
+
+def test_forward_matches_xla():
+    rng = np.random.default_rng(0)
+    B, T, U = 4, 8, 37  # non-multiple of chunk exercises padding
+    le, ls, lf = rand_inputs(rng, B, T, U)
+    T_b = np.array([8, 6, 8, 5], np.int32)
+    U_b = np.array([37, 30, 20, 11], np.int32)
+    got = np.asarray(
+        lattice_pallas.ssnt_loss_pallas(le, ls, lf, T_b, U_b, chunk=8)
+    )
+    want = np.asarray(lattice.ssnt_loss(le, ls, lf, T_b, U_b))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_grads_match_xla():
+    rng = np.random.default_rng(1)
+    B, T, U = 3, 6, 24
+    le, ls, lf = rand_inputs(rng, B, T, U)
+    T_b = np.array([6, 5, 4], np.int32)
+    U_b = np.array([24, 16, 9], np.int32)
+
+    g_pallas = jax.grad(
+        lambda a, b, c: jnp.sum(
+            lattice_pallas.ssnt_loss_pallas(a, b, c, T_b, U_b, chunk=8)
+        ),
+        argnums=(0, 1, 2),
+    )(le, ls, lf)
+    g_xla = jax.grad(
+        lambda a, b, c: jnp.sum(lattice.ssnt_loss(a, b, c, T_b, U_b)),
+        argnums=(0, 1, 2),
+    )(le, ls, lf)
+    for gp, gx, name in zip(g_pallas, g_xla, ["emit", "shift", "frame"]):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-6,
+            err_msg=name,
+        )
+
+
+def test_alphas_betas_directly():
+    rng = np.random.default_rng(2)
+    B, T, U = 2, 5, 16
+    le, ls, lf = rand_inputs(rng, B, T, U)
+    T_b = np.full(B, T, np.int32)
+    U_b = np.full(B, U, np.int32)
+    lev = jnp.transpose(jnp.asarray(le), (2, 0, 1))
+    lsv = jnp.transpose(jnp.asarray(ls), (2, 0, 1))
+    lfv = jnp.transpose(jnp.asarray(lf), (2, 0, 1))
+
+    a_pallas = np.asarray(
+        lattice_pallas.forward_alphas_pallas(lev, lsv, lfv, chunk=8)
+    )
+    a_xla = np.asarray(lattice._forward_alphas(lev, lsv, lfv))
+    np.testing.assert_allclose(a_pallas, a_xla, rtol=1e-5, atol=1e-5)
+
+    b_pallas = np.asarray(
+        lattice_pallas.backward_betas_pallas(
+            lev, lsv, lfv, jnp.asarray(T_b), jnp.asarray(U_b), chunk=8
+        )
+    )
+    b_xla = np.asarray(
+        lattice._backward_betas(
+            lev, lsv, lfv, jnp.asarray(T_b), jnp.asarray(U_b)
+        )
+    )
+    np.testing.assert_allclose(b_pallas, b_xla, rtol=1e-5, atol=1e-5)

@@ -16,13 +16,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_in_8dev_subprocess(code: str, timeout=1500):
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     ).strip()
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ssnt_tts_tpu_jax_cache")
+    # The axon sitecustomize overrides JAX_PLATFORMS at interpreter startup,
+    # so the override must happen in-process before the first jax import.
+    prelude = "import os; os.environ['JAX_PLATFORMS'] = 'cpu'\n"
     proc = subprocess.run(
-        [sys.executable, "-c", code],
+        [sys.executable, "-c", prelude + code],
         cwd=REPO,
         env=env,
         capture_output=True,
