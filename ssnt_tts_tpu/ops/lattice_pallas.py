@@ -52,9 +52,10 @@ def _shift_down_t(x):
 
 
 def _shift_up_t(x):
-    """x[..., t] -> value from t+1 (last row gets NEG)."""
+    """x[..., t] -> value from t+1 (last row gets NEG). pltpu.roll requires a
+    non-negative shift, so roll by T-1 (== -1 mod T)."""
     T = x.shape[1]
-    rolled = pltpu.roll(x, shift=-1, axis=1)
+    rolled = pltpu.roll(x, shift=T - 1, axis=1)
     t_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     return jnp.where(t_ids == T - 1, NEG, rolled)
 

@@ -20,9 +20,12 @@ def run_in_8dev_subprocess(code: str, timeout=1500):
         env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     ).strip()
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ssnt_tts_tpu_jax_cache")
-    # The axon sitecustomize overrides JAX_PLATFORMS at interpreter startup,
-    # so the override must happen in-process before the first jax import.
-    prelude = "import os; os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+    # The axon sitecustomize imports jax at interpreter startup and pins
+    # jax_platforms via jax.config; only a config.update after import can
+    # override it.
+    prelude = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+    )
     proc = subprocess.run(
         [sys.executable, "-c", prelude + code],
         cwd=REPO,
