@@ -35,11 +35,37 @@ def _bench(fn, *args, iters=20, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
+def _bench_chained(make_step, x0, iters=50, warmup=1, repeats=3):
+    """Time `iters` data-dependent repetitions of a step INSIDE one jit, so
+    host->device dispatch latency (large over the tunneled chip) is excluded.
+    make_step(x) must return an array pytree with the same structure as x and
+    a true data dependency on it. Returns median seconds per step."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x):
+        def body(c, _):
+            return make_step(c), None
+
+        out, _ = jax.lax.scan(body, x, None, length=iters)
+        return out
+
+    jax.block_until_ready(run(x0))  # compile + warmup
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(x0))
+        times.append((time.perf_counter() - t0) / iters)
+    times.sort()
+    return times[len(times) // 2]
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    from ssnt_tts_tpu.ops import lattice
+    from ssnt_tts_tpu.ops import lattice, lattice_pallas
 
     dev = jax.devices()[0]
     extras = {"device": str(dev), "platform": dev.platform}
@@ -54,21 +80,66 @@ def main():
     lf = jnp.asarray(rng.normal(0, 0.5, (B, T, U)), jnp.float32)
     T_b = jnp.full((B,), T, jnp.int32)
     U_b = jnp.full((B,), U, jnp.int32)
-
-    grad_fn = jax.jit(
-        jax.grad(
-            lambda a, b, c: jnp.sum(lattice.ssnt_loss(a, b, c, T_b, U_b)),
-            argnums=(0, 1, 2),
-        )
-    )
-    dt_fwdbwd = _bench(grad_fn, le, ls, lf)
     cells = B * T * U
-    mcells_fwdbwd = cells / dt_fwdbwd / 1e6
 
-    fwd_fn = jax.jit(lambda a, b, c: lattice.ssnt_loss(a, b, c, T_b, U_b))
-    dt_fwd = _bench(fwd_fn, le, ls, lf)
-    extras["lattice_fwd_Mcells_per_s"] = round(cells / dt_fwd / 1e6, 1)
+    def fwd_step(loss_fn):
+        # Chain: perturb le by the (tiny) loss so each scan iteration truly
+        # depends on the previous one — no hoisting, no dispatch in the loop.
+        def step(x):
+            out = loss_fn(x, ls, lf)
+            return x + out[0] * 1e-12
+
+        return step
+
+    def grad_step(loss_fn):
+        def step(x):
+            g = jax.grad(
+                lambda a: jnp.sum(loss_fn(a, ls, lf))
+            )(x)
+            return x + g * 1e-12
+
+        return step
+
+    xla_loss = lambda a, b, c: lattice.ssnt_loss(a, b, c, T_b, U_b)
+    pallas_loss = lambda a, b, c: lattice_pallas.ssnt_loss_pallas(
+        a, b, c, T_b, U_b
+    )
+
+    dt_fwdbwd = _bench_chained(grad_step(xla_loss), le)
+    extras["lattice_fwdbwd_xla_Mcells_per_s"] = round(
+        cells / dt_fwdbwd / 1e6, 1
+    )
+    dt_fwd = _bench_chained(fwd_step(xla_loss), le)
+    extras["lattice_fwd_xla_Mcells_per_s"] = round(cells / dt_fwd / 1e6, 1)
     extras["lattice_shape"] = f"B{B}xT{T}xU{U}"
+
+    # Pallas kernels (compiled path; skipped gracefully off-TPU).
+    dt_fwdbwd_pallas = None
+    try:
+        dt_fwdbwd_pallas = _bench_chained(grad_step(pallas_loss), le)
+        extras["lattice_fwdbwd_pallas_Mcells_per_s"] = round(
+            cells / dt_fwdbwd_pallas / 1e6, 1
+        )
+        dt_fwd_pallas = _bench_chained(fwd_step(pallas_loss), le)
+        extras["lattice_fwd_pallas_Mcells_per_s"] = round(
+            cells / dt_fwd_pallas / 1e6, 1
+        )
+        # Cross-check implementations agree on hardware.
+        delta = float(
+            jnp.max(
+                jnp.abs(
+                    jax.jit(pallas_loss)(le, ls, lf)
+                    - jax.jit(xla_loss)(le, ls, lf)
+                )
+            )
+        )
+        extras["pallas_vs_xla_max_abs_diff"] = round(delta, 6)
+    except Exception as e:  # pragma: no cover
+        extras["pallas_error"] = repr(e)[:200]
+
+    if dt_fwdbwd_pallas is not None and dt_fwdbwd_pallas < dt_fwdbwd:
+        dt_fwdbwd = dt_fwdbwd_pallas
+    mcells_fwdbwd = cells / dt_fwdbwd / 1e6
 
     # ---- decode audio-seconds/s @ beam=8 ----
     try:

@@ -64,31 +64,31 @@ def _shift_up_t(x):
 
 def _fwd_kernel(le_ref, ls_ref, lf_ref, alpha_out_ref,
                 alpha_s, le_s, ls_s, *, chunk):
+    """Statically unrolled column walk: per column only VPU elementwise ops
+    with static VMEM indices — no fori_loop bookkeeping, no dynamic slices,
+    no per-column branches (the u==0 init is a select, true only in the very
+    first column of block 0)."""
     B, T = alpha_s.shape
-    # Hoisted: the interpret-mode HLO interpreter cannot substitute
-    # program_id inside nested (fori_loop) jaxprs.
     block_id = pl.program_id(0)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
 
-    def col(j, _):
-        u_global = block_id * chunk + j
-
-        @pl.when(u_global == 0)
-        def _():
-            t_ids = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
-            alpha_s[:] = jnp.where(t_ids == 0, lf_ref[0], NEG)
-
-        @pl.when(u_global > 0)
-        def _():
-            stay = alpha_s[:] + le_s[:]
-            moved = _shift_down_t(alpha_s[:] + ls_s[:])
-            alpha_s[:] = lf_ref[j] + _logaddexp(stay, moved)
-
-        alpha_out_ref[j] = alpha_s[:]
-        le_s[:] = le_ref[j]
-        ls_s[:] = ls_ref[j]
-        return 0
-
-    jax.lax.fori_loop(0, chunk, col, 0)
+    alpha = alpha_s[:]
+    le_prev = le_s[:]
+    ls_prev = ls_s[:]
+    for j in range(chunk):
+        lf = lf_ref[j]
+        stay = alpha + le_prev
+        moved = _shift_down_t(alpha + ls_prev)
+        rec = lf + _logaddexp(stay, moved)
+        init = jnp.where(t_ids == 0, lf, NEG)
+        is_first = (block_id == 0) & (j == 0)
+        alpha = jnp.where(is_first, init, rec)
+        alpha_out_ref[j] = alpha
+        le_prev = le_ref[j]
+        ls_prev = ls_ref[j]
+    alpha_s[:] = alpha
+    le_s[:] = le_prev
+    ls_s[:] = ls_prev
 
 
 def forward_alphas_pallas(le, ls, lf, *, chunk: int = 16):
@@ -126,24 +126,24 @@ def _bwd_kernel(in_len_ref, out_len_ref, le_ref, ls_ref, lf_ref,
     is_last_t = t_ids == in_len_ref[:] - 1  # (B, T) via broadcast of (B, 1)
     out_len = out_len_ref[:]  # (B, 1)
 
-    def col(jj, _):
-        j = chunk - 1 - jj  # walk columns backward within the block
-        u_global = (nblocks - 1 - block_id) * chunk + j
-
-        cont = lf_s[:] + beta_s[:]
-        rec = _logaddexp(le_ref[j] + cont, ls_ref[j] + _shift_up_t(cont))
-        init_col = jnp.where(is_last_t, le_ref[j], NEG)
-        beta_s[:] = jnp.where(u_global == out_len - 1, init_col, rec)
-        beta_out_ref[j] = beta_s[:]
-        lf_s[:] = lf_ref[j]
-        return 0
-
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(block_id == 0)
     def _():
         beta_s[:] = jnp.full((B, T), NEG)
         lf_s[:] = jnp.full((B, T), NEG)
 
-    jax.lax.fori_loop(0, chunk, col, 0)
+    beta = beta_s[:]
+    lf_next = lf_s[:]
+    base_u = (nblocks - 1 - block_id) * chunk
+    for j in range(chunk - 1, -1, -1):
+        le = le_ref[j]
+        cont = lf_next + beta
+        rec = _logaddexp(le + cont, ls_ref[j] + _shift_up_t(cont))
+        init_col = jnp.where(is_last_t, le, NEG)
+        beta = jnp.where(base_u + j == out_len - 1, init_col, rec)
+        beta_out_ref[j] = beta
+        lf_next = lf_ref[j]
+    beta_s[:] = beta
+    lf_s[:] = lf_next
 
 
 def backward_betas_pallas(le, ls, lf, input_length, output_length,

@@ -31,14 +31,15 @@ from ssnt_tts_tpu.utils.config import MeshConfig
 def make_mesh(config: Optional[MeshConfig] = None,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    n = len(devices)
     if config is None:
-        config = MeshConfig(data=n, model=1)
-    if config.data * config.model != n:
+        config = MeshConfig(data=len(devices), model=1)
+    need = config.data * config.model
+    if need > len(devices):
         raise ValueError(
-            f"mesh {config.data}x{config.model} != {n} devices"
+            f"mesh {config.data}x{config.model} needs {need} devices, "
+            f"found {len(devices)}"
         )
-    dev_array = np.asarray(devices).reshape(config.data, config.model)
+    dev_array = np.asarray(devices[:need]).reshape(config.data, config.model)
     return Mesh(dev_array, ("data", "model"))
 
 

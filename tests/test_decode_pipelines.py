@@ -1,0 +1,121 @@
+"""v2 duration-decode and tone-decode production pipelines (SURVEY.md
+§3.1/§3.3): on-device scan + all-beam backtrace + upsampling invariants."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ssnt_tts_tpu.models import SSNTModel
+from ssnt_tts_tpu.oracle import numpy_oracle as pyo
+from ssnt_tts_tpu.parallel import decode as decode_lib
+from ssnt_tts_tpu.parallel import train as train_lib
+from ssnt_tts_tpu.utils.config import TrainConfig, tiny_model_config
+
+B, T, U = 2, 6, 20
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = tiny_model_config()
+    model = SSNTModel(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "tokens": jnp.asarray(
+            rng.integers(1, cfg.vocab_size, (B, T)), jnp.int32
+        ),
+        "mel": jnp.asarray(rng.normal(0, 1, (B, U, cfg.mel_dim)),
+                           jnp.float32),
+        "input_length": jnp.asarray([T, T - 2], jnp.int32),
+        "output_length": jnp.asarray([U, U - 6], jnp.int32),
+    }
+    state = train_lib.init_train_state(
+        model, jax.random.PRNGKey(0), batch, TrainConfig(warmup_steps=2)
+    )
+    return model, state.params, batch
+
+
+def test_v2_duration_decode_invariants(model_and_params):
+    model, params, batch = model_and_params
+    W = 4
+    dur_table = np.array([0, 1, 2, 3, 4], np.int32)
+    fn = jax.jit(
+        lambda p, tok, il, ol: decode_lib.v2_duration_decode(
+            model, p, tok, il, ol, dur_table,
+            beam_width=W, max_frames=U, test_mode=True,
+        )
+    )
+    out = fn(params, batch["tokens"], batch["input_length"],
+             batch["output_length"])
+    durs = np.asarray(out["durations"])
+    ol = np.asarray(out["output_length"])
+    src = np.asarray(out["source_indexes"])
+    assert durs.shape == (B, W, T)
+    assert set(np.unique(durs)) <= set(dur_table.tolist())
+    np.testing.assert_array_equal(durs.sum(-1), ol)
+    for b in range(B):
+        Tb = int(batch["input_length"][b])
+        assert (durs[b, :, Tb:] == 0).all()
+        for w in range(W):
+            n = ol[b, w]
+            row = src[b, w]
+            if n > 0:
+                assert row[0] == 0 or durs[b, w, 0] == 0
+                real = row[:n]
+                assert ((np.diff(real) >= 0)).all()  # monotone
+                assert (real < Tb).all() and (real >= 0).all()
+            assert (row[n:] == -1).all()
+    # Ordered ancestry must match the oracle backtrace of recorded branches.
+    want = pyo.order_beam_branch(
+        np.broadcast_to(np.arange(W, dtype=np.int32)[None], (B, W)),
+        np.asarray(out["beam_branch"]),
+    )
+    np.testing.assert_array_equal(np.asarray(out["ordered_beam_branch"]),
+                                  want)
+
+
+def test_v2_duration_decode_constrained(model_and_params):
+    """With constraints on (test_mode=False), surviving beams must sum to the
+    requested output_length exactly (src/v2.rs:135-137)."""
+    model, params, batch = model_and_params
+    W = 4
+    dur_table = np.array([0, 2, 3, 4, 5], np.int32)
+    ol_req = jnp.asarray([18, 12], jnp.int32)
+    fn = jax.jit(
+        lambda p, tok, il, ol: decode_lib.v2_duration_decode(
+            model, p, tok, il, ol, dur_table,
+            beam_width=W, max_frames=U, allow_skip=True, test_mode=False,
+        )
+    )
+    out = fn(params, batch["tokens"], batch["input_length"], ol_req)
+    fin = np.asarray(out["is_finished"])
+    tot = np.asarray(out["total_duration"])
+    for b in range(B):
+        for w in range(W):
+            if fin[b, w]:
+                assert tot[b, w] == int(ol_req[b]), (b, w, tot[b, w])
+
+
+def test_tone_decode_and_edit_distance_eval(model_and_params):
+    from ssnt_tts_tpu.ops import edit_distance
+
+    model, params, batch = model_and_params
+    W, K = 3, model.config.tone_class_size
+    fn = jax.jit(
+        lambda p, tok, il: decode_lib.tone_decode(
+            model, p, tok, il, beam_width=W, empty_tone_id=0
+        )
+    )
+    out = fn(params, batch["tokens"], batch["input_length"])
+    tones = np.asarray(out["tones"])
+    assert tones.shape == (B, W, T)
+    assert (tones >= 0).all() and (tones < K).all()
+    # Eval loop: edit distance between best-beam tones and a reference.
+    ref = np.asarray(batch["tokens"]) % K
+    d = edit_distance.levenshtein_edit_distance(
+        jnp.asarray(tones[:, 0, :]), jnp.asarray(ref.astype(np.int32)),
+        batch["input_length"], batch["input_length"],
+    )
+    d = np.asarray(d)
+    assert d.shape == (B,)
+    assert (d >= 0).all() and (d <= np.asarray(batch["input_length"])).all()
