@@ -1,3 +1,3 @@
-from ssnt_tts_tpu.parallel import decode, mesh, train
+from ssnt_tts_tpu.parallel import decode, mesh, multihost, train
 
-__all__ = ["decode", "mesh", "train"]
+__all__ = ["decode", "mesh", "multihost", "train"]
