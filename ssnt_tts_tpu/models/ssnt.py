@@ -32,8 +32,20 @@ from ssnt_tts_tpu.models.decoder import (
 )
 from ssnt_tts_tpu.models.encoder import DurationHead, TextEncoder, ToneHead
 from ssnt_tts_tpu.models.layers import length_mask
-from ssnt_tts_tpu.ops import lattice
+from ssnt_tts_tpu.ops import lattice, lattice_pallas
 from ssnt_tts_tpu.utils.config import ModelConfig
+
+
+def _lattice_loss_fn(impl: str):
+    if impl == "pallas":
+        return lattice_pallas.ssnt_loss_pallas
+    if impl == "xla":
+        return lattice.ssnt_loss
+    # auto: Pallas kernels on TPU, XLA scan elsewhere (Pallas on CPU would
+    # need interpret mode).
+    if any(d.platform == "tpu" for d in jax.devices()):
+        return lattice_pallas.ssnt_loss_pallas
+    return lattice.ssnt_loss
 
 
 class SSNTModel(nn.Module):
@@ -97,7 +109,8 @@ class SSNTModel(nn.Module):
         enc = self.encode(tokens, input_length)
         dec = self.decoder_states(mel_target)
         le, ls, lf = self.lattice_quantities(enc, dec, mel_target)
-        return lattice.ssnt_loss(le, ls, lf, input_length, output_length)
+        loss_fn = _lattice_loss_fn(self.config.lattice_impl)
+        return loss_fn(le, ls, lf, input_length, output_length)
 
     def loss(self, tokens, mel_target, input_length=None, output_length=None,
              duration_target=None, tone_target=None):
@@ -111,7 +124,8 @@ class SSNTModel(nn.Module):
         enc = self.encode(tokens, input_length)
         dec = self.decoder_states(mel_target)
         le, ls, lf = self.lattice_quantities(enc, dec, mel_target)
-        nll = lattice.ssnt_loss(le, ls, lf, input_length, output_length)
+        loss_fn = _lattice_loss_fn(self.config.lattice_impl)
+        nll = loss_fn(le, ls, lf, input_length, output_length)
         if output_length is None:
             frames = jnp.full((B,), U, jnp.float32)
         else:

@@ -177,6 +177,103 @@ def backward_betas_pallas(le, ls, lf, input_length, output_length,
     )
 
 
+# ------------------------------------------------ fused bidirectional pass
+
+def _bidir_kernel(in_len_ref, out_len_ref,
+                  le_f_ref, ls_f_ref, lf_f_ref,
+                  le_b_ref, ls_b_ref, lf_b_ref,
+                  alpha_out_ref, beta_out_ref,
+                  alpha_s, le_s, ls_s, beta_s, lf_s, *, chunk):
+    """Alpha (forward) and beta (backward) are independent recurrences; one
+    kernel walks both directions per grid step (the *_f refs index block i,
+    the *_b refs block nblocks-1-i). Interleaving the two dependent chains
+    lets them pipeline through the VPU concurrently, roughly halving the
+    latency-bound fwd+bwd wall time at small batch."""
+    B, T = alpha_s.shape
+    block_id = pl.program_id(0)
+    nblocks = pl.num_programs(0)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+    is_last_t = t_ids == in_len_ref[:] - 1
+    out_len = out_len_ref[:]
+
+    @pl.when(block_id == 0)
+    def _():
+        beta_s[:] = jnp.full((B, T), NEG)
+        lf_s[:] = jnp.full((B, T), NEG)
+
+    alpha = alpha_s[:]
+    le_prev = le_s[:]
+    ls_prev = ls_s[:]
+    beta = beta_s[:]
+    lf_next = lf_s[:]
+    base_u_b = (nblocks - 1 - block_id) * chunk
+    for j in range(chunk):
+        jb = chunk - 1 - j
+        # --- forward column (block i, column j) ---
+        lf_f = lf_f_ref[j]
+        stay = alpha + le_prev
+        moved = _shift_down_t(alpha + ls_prev)
+        rec_a = lf_f + _logaddexp(stay, moved)
+        init_a = jnp.where(t_ids == 0, lf_f, NEG)
+        alpha = jnp.where((block_id == 0) & (j == 0), init_a, rec_a)
+        alpha_out_ref[j] = alpha
+        le_prev = le_f_ref[j]
+        ls_prev = ls_f_ref[j]
+        # --- backward column (block nblocks-1-i, column jb) ---
+        le_b = le_b_ref[jb]
+        cont = lf_next + beta
+        rec_b = _logaddexp(le_b + cont, ls_b_ref[jb] + _shift_up_t(cont))
+        init_b = jnp.where(is_last_t, le_b, NEG)
+        beta = jnp.where(base_u_b + jb == out_len - 1, init_b, rec_b)
+        beta_out_ref[jb] = beta
+        lf_next = lf_b_ref[jb]
+    alpha_s[:] = alpha
+    le_s[:] = le_prev
+    ls_s[:] = ls_prev
+    beta_s[:] = beta
+    lf_s[:] = lf_next
+
+
+def fused_alphas_betas_pallas(le, ls, lf, input_length, output_length,
+                              *, chunk: int = 16):
+    """(U, B, T) inputs -> (alphas, betas), one bidirectional kernel pass."""
+    U, B, T = le.shape
+    assert U % chunk == 0
+    nblocks = U // chunk
+    fwd = pl.BlockSpec(
+        (chunk, B, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    bwd = pl.BlockSpec(
+        (chunk, B, T), lambda i: (nblocks - 1 - i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    len_spec = pl.BlockSpec(
+        (B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_bidir_kernel, chunk=chunk),
+        grid=(nblocks,),
+        in_specs=[len_spec, len_spec, fwd, fwd, fwd, bwd, bwd, bwd],
+        out_specs=(fwd, bwd),
+        out_shape=(
+            jax.ShapeDtypeStruct((U, B, T), jnp.float32),
+            jax.ShapeDtypeStruct((U, B, T), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, T), jnp.float32),
+            pltpu.VMEM((B, T), jnp.float32),
+            pltpu.VMEM((B, T), jnp.float32),
+            pltpu.VMEM((B, T), jnp.float32),
+            pltpu.VMEM((B, T), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(
+        input_length.reshape(B, 1).astype(jnp.int32),
+        output_length.reshape(B, 1).astype(jnp.int32),
+        le, ls, lf, le, ls, lf,
+    )
+
+
 # ------------------------------------------------------------- public loss
 
 def _pad_u(x, chunk):
@@ -213,19 +310,26 @@ def _core(log_emit, log_shift, log_frame, input_length, output_length,
 
 def _core_fwd(log_emit, log_shift, log_frame, input_length, output_length,
               chunk):
-    logz, (le, ls, lf, alphas) = _loss_fwd_impl(
-        log_emit, log_shift, log_frame, input_length, output_length, chunk
+    # Under grad, run the fused bidirectional kernel: alphas and betas in one
+    # latency-bound pass instead of two.
+    le = jnp.transpose(log_emit, (2, 0, 1))
+    ls = jnp.transpose(log_shift, (2, 0, 1))
+    lf = jnp.transpose(log_frame, (2, 0, 1))
+    U = le.shape[0]
+    alphas, betas = fused_alphas_betas_pallas(
+        _pad_u(le, chunk), _pad_u(ls, chunk), _pad_u(lf, chunk),
+        input_length, output_length, chunk=chunk,
     )
-    return -logz, (le, ls, lf, alphas, logz, input_length, output_length)
+    alphas, betas = alphas[:U], betas[:U]
+    logz = _gather_logz(alphas, le, input_length, output_length)
+    return -logz, (
+        le, ls, lf, alphas, betas, logz, input_length, output_length
+    )
 
 
 def _core_bwd(chunk, res, g):
-    le, ls, lf, alphas, logz, input_length, output_length = res
+    le, ls, lf, alphas, betas, logz, input_length, output_length = res
     U, B, T = le.shape
-    betas = backward_betas_pallas(
-        _pad_u(le, chunk), _pad_u(ls, chunk), _pad_u(lf, chunk),
-        input_length, output_length, chunk=chunk,
-    )[:U]
 
     # Posterior math identical to ops.lattice._ssnt_loss_bwd; XLA fuses these
     # elementwise passes over the Pallas-produced alpha/beta.

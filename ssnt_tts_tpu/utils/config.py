@@ -66,6 +66,9 @@ class ModelConfig:
     duration_class_size: int = 10
     tone_class_size: int = 8
     dtype: str = "bfloat16"
+    # Lattice loss backend: "auto" uses the Pallas kernels on TPU and the
+    # XLA scan elsewhere; "xla"/"pallas" force one.
+    lattice_impl: str = "auto"
 
 
 def tiny_model_config(**overrides) -> ModelConfig:

@@ -88,3 +88,38 @@ def test_alphas_betas_directly():
         )
     )
     np.testing.assert_allclose(b_pallas, b_xla, rtol=1e-5, atol=1e-5)
+
+    a_fused, b_fused = lattice_pallas.fused_alphas_betas_pallas(
+        lev, lsv, lfv, jnp.asarray(T_b), jnp.asarray(U_b), chunk=8
+    )
+    np.testing.assert_allclose(np.asarray(a_fused), a_xla, rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b_fused), b_xla, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_fused_with_ragged_lengths():
+    rng = np.random.default_rng(3)
+    B, T, U = 3, 6, 24
+    le, ls, lf = rand_inputs(rng, B, T, U)
+    T_b = jnp.asarray([6, 4, 5], jnp.int32)
+    U_b = jnp.asarray([24, 10, 17], jnp.int32)
+    lev = jnp.transpose(jnp.asarray(le), (2, 0, 1))
+    lsv = jnp.transpose(jnp.asarray(ls), (2, 0, 1))
+    lfv = jnp.transpose(jnp.asarray(lf), (2, 0, 1))
+    a_fused, b_fused = lattice_pallas.fused_alphas_betas_pallas(
+        lev, lsv, lfv, T_b, U_b, chunk=8
+    )
+    b_xla = np.asarray(lattice._backward_betas(lev, lsv, lfv, T_b, U_b))
+    a_xla = np.asarray(lattice._forward_alphas(lev, lsv, lfv))
+    # Compare only within each example's valid region.
+    for b in range(B):
+        Ub, Tb = int(U_b[b]), int(T_b[b])
+        np.testing.assert_allclose(
+            np.asarray(a_fused)[:Ub, b, :Tb], a_xla[:Ub, b, :Tb],
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(b_fused)[:Ub, b, :Tb], b_xla[:Ub, b, :Tb],
+            rtol=1e-5, atol=1e-5,
+        )
