@@ -170,6 +170,43 @@ class SSNTModel(nn.Module):
 
     # ------------------------------------------------------------- decode
 
+    def synthesize_from_alignment(self, enc, source_indexes):
+        """Generate mel frames attending through a decoded alignment map.
+
+        Completes the v2 production path (SURVEY.md §3.3): after
+        v2_duration_decode produces frame->source indices, the AR decoder
+        walks the frames, attending to enc at each frame's source position.
+
+        enc (B, T, H); source_indexes (B, U) i32 (out-of-range entries
+        clipped — callers mask with the true output length).
+        Returns mel (B, U, M).
+        """
+        B, T, H = enc.shape
+        U = source_indexes.shape[1]
+        src = jnp.clip(source_indexes, 0, T - 1)
+        enc_path = jnp.take_along_axis(
+            enc, src[..., None], axis=1
+        )  # (B, U, H)
+        carry0 = ARDecoderCell.initial_carry(B, self.config.decoder_dim)
+
+        # nn.scan over frames: carry = (gru_state, prev_mel).
+        def body(mod, carry, enc_t):
+            gru_state, prev_mel = carry
+            new_state, dec_out = mod.ar_cell(gru_state, prev_mel)
+            mel = mod.frame.predict(enc_t, dec_out)
+            return (new_state, mel), mel
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        init = (carry0, jnp.zeros((B, self.config.mel_dim), jnp.float32))
+        _, mel = scan(self, init, enc_path)
+        return mel
+
     def decode_step(self, enc, beam_t, dec_state, prev_mel):
         """One decode step for all beams of all utterances.
 

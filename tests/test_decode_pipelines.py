@@ -96,6 +96,34 @@ def test_v2_duration_decode_constrained(model_and_params):
                 assert tot[b, w] == int(ol_req[b]), (b, w, tot[b, w])
 
 
+def test_v2_synthesis_from_alignment(model_and_params):
+    """Full v2 synthesis: durations -> upsample -> AR mel generation."""
+    model, params, batch = model_and_params
+    W = 3
+    dur_table = np.array([0, 1, 2, 3, 4], np.int32)
+
+    def pipeline(p, tok, il, ol):
+        out = decode_lib.v2_duration_decode(
+            model, p, tok, il, ol, dur_table,
+            beam_width=W, max_frames=U, test_mode=True,
+        )
+        enc = model.apply(p, tok, il, method=model.encode)
+        best_src = out["source_indexes"][:, 0, :]  # (B, U)
+        mel = model.apply(
+            p, enc, best_src, method=model.synthesize_from_alignment
+        )
+        return mel, out["output_length"][:, 0]
+
+    mel, olen = jax.jit(pipeline)(
+        params, batch["tokens"], batch["input_length"],
+        batch["output_length"],
+    )
+    mel = np.asarray(mel)
+    assert mel.shape == (B, U, model.config.mel_dim)
+    assert np.isfinite(mel).all()
+    assert (np.asarray(olen) > 0).all()
+
+
 def test_tone_decode_and_edit_distance_eval(model_and_params):
     from ssnt_tts_tpu.ops import edit_distance
 

@@ -98,6 +98,36 @@ def test_alphas_betas_directly():
                                atol=1e-5)
 
 
+def test_exp_variant_loss_and_grads_match():
+    """Exp-domain short-chain kernels: loss and grads agree with the XLA
+    implementation to f32 accuracy (values below the logaddexp contribution
+    horizon may differ, which is invisible at these tolerances)."""
+    rng = np.random.default_rng(5)
+    B, T, U = 3, 7, 24
+    le, ls, lf = rand_inputs(rng, B, T, U)
+    T_b = np.array([7, 5, 6], np.int32)
+    U_b = np.array([24, 14, 20], np.int32)
+
+    loss_exp, g_exp = jax.value_and_grad(
+        lambda a, b, c: jnp.sum(
+            lattice_pallas.ssnt_loss_pallas(
+                a, b, c, T_b, U_b, chunk=8, variant="exp"
+            )
+        ),
+        argnums=(0, 1, 2),
+    )(le, ls, lf)
+    loss_xla, g_xla = jax.value_and_grad(
+        lambda a, b, c: jnp.sum(lattice.ssnt_loss(a, b, c, T_b, U_b)),
+        argnums=(0, 1, 2),
+    )(le, ls, lf)
+    np.testing.assert_allclose(float(loss_exp), float(loss_xla), rtol=5e-4)
+    for ge, gx, name in zip(g_exp, g_xla, ["emit", "shift", "frame"]):
+        np.testing.assert_allclose(
+            np.asarray(ge), np.asarray(gx), rtol=5e-3, atol=5e-5,
+            err_msg=name,
+        )
+
+
 def test_fused_with_ragged_lengths():
     rng = np.random.default_rng(3)
     B, T, U = 3, 6, 24
