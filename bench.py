@@ -141,6 +141,33 @@ def main():
         dt_fwdbwd = dt_fwdbwd_pallas
     mcells_fwdbwd = cells / dt_fwdbwd / 1e6
 
+    # Production-batch scaling point (BASELINE config-4 scale, B=256): the
+    # column-scan kernel is chain-latency-bound at B=32 and saturates near
+    # the HBM roofline at production batch.
+    try:
+        B2 = 256
+        le2 = jnp.asarray(
+            np.log(rng.uniform(0.1, 0.9, (B2, T, U))), jnp.float32
+        )
+        ls2 = jnp.log1p(-jnp.exp(le2))
+        lf2 = jnp.asarray(rng.normal(0, 0.5, (B2, T, U)), jnp.float32)
+        T_b2 = jnp.full((B2,), T, jnp.int32)
+        U_b2 = jnp.full((B2,), U, jnp.int32)
+
+        def grad_step_256(x):
+            g = jax.grad(
+                lambda a: jnp.sum(
+                    lattice_pallas.ssnt_loss_pallas(a, ls2, lf2, T_b2, U_b2)
+                )
+            )(x)
+            return x + g * 1e-12
+
+        dt256 = _bench_chained(grad_step_256, le2, iters=20)
+        mc256 = B2 * T * U / dt256 / 1e6
+        extras["lattice_fwdbwd_pallas_B256_Mcells_per_s"] = round(mc256, 1)
+    except Exception as e:  # pragma: no cover
+        extras["b256_error"] = repr(e)[:200]
+
     # ---- decode audio-seconds/s @ beam=8 ----
     try:
         from ssnt_tts_tpu.models import SSNTModel
@@ -191,6 +218,20 @@ def main():
         )
         dt_train = _bench(train_fn, state, batch, iters=5, warmup=2)
         extras["train_step_ms_B32"] = round(dt_train * 1e3, 1)
+
+        # Production-batch decode point: per-step op overhead amortizes
+        # across the batch, so audio-s/s scales with B.
+        Bd2 = 256
+        toks2 = jnp.asarray(
+            rng.integers(1, cfg.vocab_size, (Bd2, Td)), jnp.int32
+        )
+        il2 = jnp.full((Bd2,), Td, jnp.int32)
+        dt_dec2 = _bench(
+            dec_fn, state.params, toks2, il2, iters=3, warmup=1
+        )
+        extras["decode_audio_s_per_s_beam8_B256"] = round(
+            Bd2 * Ud * frame_hop_s / dt_dec2, 1
+        )
     except Exception as e:  # pragma: no cover
         extras["decode_error"] = repr(e)
 

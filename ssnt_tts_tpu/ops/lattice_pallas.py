@@ -426,12 +426,36 @@ def _pad_u(x, chunk):
     return x
 
 
+def _t_pad(T: int) -> int:
+    return ((T + 127) // 128) * 128
+
+
+def _auto_chunk(B: int, T: int, requested: int, streams: int = 8) -> int:
+    """Cap the U-chunk so `streams` double-buffered (chunk, B, Tpad) blocks
+    fit VMEM (~16 MB; keep under ~12)."""
+    block_budget = (12 * 1024 * 1024) // (2 * streams)
+    cap = max(1, block_budget // (B * _t_pad(T) * 4))
+    chunk = min(requested, cap)
+    # Power-of-two-ish chunk keeps padding small.
+    for c in (16, 8, 4, 2, 1):
+        if c <= chunk:
+            return c
+    return 1
+
+
+# Below this many (B x padded-T) elements per column the kernels are
+# dependency-chain latency-bound and the fused bidirectional pass wins; above
+# it, separate fwd/bwd passes with larger chunks are faster.
+_FUSED_MAX_COLUMN_ELEMS = 8192
+
+
 def _loss_fwd_impl(log_emit, log_shift, log_frame, input_length,
                    output_length, chunk):
     le = jnp.transpose(log_emit, (2, 0, 1))
     ls = jnp.transpose(log_shift, (2, 0, 1))
     lf = jnp.transpose(log_frame, (2, 0, 1))
-    U = le.shape[0]
+    U, B, T = le.shape
+    chunk = _auto_chunk(B, T, chunk, streams=4)
     alphas = forward_alphas_pallas(
         _pad_u(le, chunk), _pad_u(ls, chunk), _pad_u(lf, chunk), chunk=chunk
     )[:U]
@@ -455,17 +479,25 @@ def _core_fwd(log_emit, log_shift, log_frame, input_length, output_length,
     le = jnp.transpose(log_emit, (2, 0, 1))
     ls = jnp.transpose(log_shift, (2, 0, 1))
     lf = jnp.transpose(log_frame, (2, 0, 1))
-    U = le.shape[0]
-    fused = (
-        fused_alphas_betas_pallas_exp
-        if variant == "exp"
-        else fused_alphas_betas_pallas
-    )
-    alphas, betas = fused(
-        _pad_u(le, chunk), _pad_u(ls, chunk), _pad_u(lf, chunk),
-        input_length, output_length, chunk=chunk,
-    )
-    alphas, betas = alphas[:U], betas[:U]
+    U, B, T = le.shape
+    if B * _t_pad(T) <= _FUSED_MAX_COLUMN_ELEMS:
+        c = _auto_chunk(B, T, chunk, streams=8)
+        fused = (
+            fused_alphas_betas_pallas_exp
+            if variant == "exp"
+            else fused_alphas_betas_pallas
+        )
+        alphas, betas = fused(
+            _pad_u(le, c), _pad_u(ls, c), _pad_u(lf, c),
+            input_length, output_length, chunk=c,
+        )
+        alphas, betas = alphas[:U], betas[:U]
+    else:
+        c = _auto_chunk(B, T, chunk, streams=4)
+        alphas = forward_alphas_pallas(
+            _pad_u(le, c), _pad_u(ls, c), _pad_u(lf, c), chunk=c
+        )[:U]
+        betas = None  # computed in the bwd pass with its own larger chunk
     logz = _gather_logz(alphas, le, input_length, output_length)
     return -logz, (
         le, ls, lf, alphas, betas, logz, input_length, output_length
@@ -475,6 +507,12 @@ def _core_fwd(log_emit, log_shift, log_frame, input_length, output_length,
 def _core_bwd(chunk, variant, res, g):
     le, ls, lf, alphas, betas, logz, input_length, output_length = res
     U, B, T = le.shape
+    if betas is None:
+        c = _auto_chunk(B, T, chunk, streams=4)
+        betas = backward_betas_pallas(
+            _pad_u(le, c), _pad_u(ls, c), _pad_u(lf, c),
+            input_length, output_length, chunk=c,
+        )[:U]
 
     # Posterior math identical to ops.lattice._ssnt_loss_bwd; XLA fuses these
     # elementwise passes over the Pallas-produced alpha/beta.

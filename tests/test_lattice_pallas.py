@@ -128,6 +128,22 @@ def test_exp_variant_loss_and_grads_match():
         )
 
 
+def test_large_batch_separate_pass_regime():
+    """B * Tpad above the fused threshold takes the separate fwd/bwd path;
+    grads must still match the XLA implementation."""
+    rng = np.random.default_rng(7)
+    B, T, U = 80, 4, 8  # 80 * 128 > 8192 -> separate passes
+    le, ls, lf = rand_inputs(rng, B, T, U)
+    g_p = jax.grad(
+        lambda a: jnp.sum(lattice_pallas.ssnt_loss_pallas(a, ls, lf))
+    )(le)
+    g_x = jax.grad(
+        lambda a: jnp.sum(lattice.ssnt_loss(a, ls, lf))
+    )(le)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_fused_with_ragged_lengths():
     rng = np.random.default_rng(3)
     B, T, U = 3, 6, 24
