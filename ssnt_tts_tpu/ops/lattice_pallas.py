@@ -317,6 +317,110 @@ def fused_alphas_betas_pallas_exp(le, ls, lf, input_length, output_length,
     )
 
 
+# -------------------------------------------- backward + gradients, fused
+
+def _bwdgrad_kernel(in_len_ref, out_len_ref, gz_ref,
+                    le_ref, ls_ref, lf_ref, alpha_ref,
+                    d_le_ref, d_ls_ref, d_lf_ref,
+                    beta_s, lf_s, *, chunk):
+    """Beta recursion with the transition/occupancy posteriors computed in
+    the same walk — the separate posterior pass (and the beta HBM write)
+    disappear. gz_ref carries per-example (-cotangent, logz) packed as
+    (B, 2): column 0 = upstream grad g, column 1 = logz (NEG if degenerate).
+    """
+    B, T = beta_s.shape
+    nblocks = pl.num_programs(0)
+    block_id = pl.program_id(0)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+    in_len = in_len_ref[:]
+    is_last_t = t_ids == in_len - 1
+    t_valid = t_ids < in_len
+    out_len = out_len_ref[:]
+    g = gz_ref[:, 0:1]  # (B, 1)
+    logz = gz_ref[:, 1:2]
+    degenerate = logz <= NEG / 2
+    neg_g = jnp.where(degenerate, 0.0, -g)
+
+    @pl.when(block_id == 0)
+    def _():
+        beta_s[:] = jnp.full((B, T), NEG)
+        lf_s[:] = jnp.full((B, T), NEG)
+
+    beta = beta_s[:]
+    lf_next = lf_s[:]
+    base_u = (nblocks - 1 - block_id) * chunk
+    for j in range(chunk - 1, -1, -1):
+        u = base_u + j
+        is_last_u = u == out_len - 1  # (B, 1)
+        le = le_ref[j]
+        ls = ls_ref[j]
+        alpha = alpha_ref[j]
+        cont = lf_next + beta  # lf[u+1] + beta[u+1]
+        cont_shift_raw = _shift_up_t(cont)
+        # Posterior continuations at column u (mirror _ssnt_loss_bwd).
+        cont_emit = jnp.where(
+            is_last_u, jnp.where(is_last_t, 0.0, NEG), cont
+        )
+        cont_shift = jnp.where(is_last_u, NEG, cont_shift_raw)
+        valid = t_valid & (u < out_len)
+        anorm = alpha - logz
+
+        def post(score):
+            return jnp.where(
+                valid, jnp.exp(jnp.minimum(score, 30.0)), 0.0
+            )
+
+        d_le_ref[j] = neg_g * post(anorm + le + cont_emit)
+        d_ls_ref[j] = neg_g * post(anorm + ls + cont_shift)
+        # Beta at u (needed for the occupancy grad and the next column).
+        rec = _logaddexp(le + cont, ls + cont_shift_raw)
+        init_col = jnp.where(is_last_t, le, NEG)
+        beta = jnp.where(is_last_u, init_col, rec)
+        d_lf_ref[j] = neg_g * post(anorm + beta)
+        lf_next = lf_ref[j]
+    beta_s[:] = beta
+    lf_s[:] = lf_next
+
+
+def backward_grads_pallas(le, ls, lf, alphas, input_length, output_length,
+                          g, logz, *, chunk: int = 16):
+    """(U, B, T) inputs + alphas -> (d_le, d_ls, d_lf) in one reverse pass.
+
+    g: (B,) upstream cotangent of the per-example loss; logz: (B,)."""
+    U, B, T = le.shape
+    assert U % chunk == 0
+    nblocks = U // chunk
+    rev = pl.BlockSpec(
+        (chunk, B, T), lambda i: (nblocks - 1 - i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    len_spec = pl.BlockSpec(
+        (B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    gz_spec = pl.BlockSpec(
+        (B, 2), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    gz = jnp.stack([g.astype(jnp.float32), logz.astype(jnp.float32)],
+                   axis=1)
+    shape = jax.ShapeDtypeStruct((U, B, T), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_bwdgrad_kernel, chunk=chunk),
+        grid=(nblocks,),
+        in_specs=[len_spec, len_spec, gz_spec, rev, rev, rev, rev],
+        out_specs=(rev, rev, rev),
+        out_shape=(shape, shape, shape),
+        scratch_shapes=[
+            pltpu.VMEM((B, T), jnp.float32),
+            pltpu.VMEM((B, T), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(
+        input_length.reshape(B, 1).astype(jnp.int32),
+        output_length.reshape(B, 1).astype(jnp.int32),
+        gz, le, ls, lf, alphas,
+    )
+
+
 # ------------------------------------------------ fused bidirectional pass
 
 def _bidir_kernel(in_len_ref, out_len_ref,
@@ -508,11 +612,16 @@ def _core_bwd(chunk, variant, res, g):
     le, ls, lf, alphas, betas, logz, input_length, output_length = res
     U, B, T = le.shape
     if betas is None:
-        c = _auto_chunk(B, T, chunk, streams=4)
-        betas = backward_betas_pallas(
+        # Large-B regime: one reverse pass computing the gradients directly
+        # (betas never touch HBM, no separate posterior pass).
+        c = _auto_chunk(B, T, chunk, streams=7)
+        d = backward_grads_pallas(
             _pad_u(le, c), _pad_u(ls, c), _pad_u(lf, c),
-            input_length, output_length, chunk=c,
-        )[:U]
+            _pad_u(alphas, c), input_length, output_length, g, logz,
+            chunk=c,
+        )
+        d_le, d_ls, d_lf = (jnp.transpose(x[:U], (1, 2, 0)) for x in d)
+        return d_le, d_ls, d_lf, None, None
 
     # Posterior math identical to ops.lattice._ssnt_loss_bwd; XLA fuses these
     # elementwise passes over the Pallas-produced alpha/beta.

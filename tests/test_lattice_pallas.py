@@ -129,19 +129,28 @@ def test_exp_variant_loss_and_grads_match():
 
 
 def test_large_batch_separate_pass_regime():
-    """B * Tpad above the fused threshold takes the separate fwd/bwd path;
-    grads must still match the XLA implementation."""
+    """B * Tpad above the fused threshold takes the fwd + grad-fused-bwd
+    path; all grads and ragged masking must match the XLA implementation."""
     rng = np.random.default_rng(7)
     B, T, U = 80, 4, 8  # 80 * 128 > 8192 -> separate passes
     le, ls, lf = rand_inputs(rng, B, T, U)
+    T_b = np.full(B, T, np.int32)
+    T_b[1::3] = 3
+    U_b = np.full(B, U, np.int32)
+    U_b[::2] = 5
     g_p = jax.grad(
-        lambda a: jnp.sum(lattice_pallas.ssnt_loss_pallas(a, ls, lf))
-    )(le)
+        lambda a, b, c: jnp.sum(
+            lattice_pallas.ssnt_loss_pallas(a, b, c, T_b, U_b)
+        ),
+        argnums=(0, 1, 2),
+    )(le, ls, lf)
     g_x = jax.grad(
-        lambda a: jnp.sum(lattice.ssnt_loss(a, ls, lf))
-    )(le)
-    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
-                               rtol=1e-4, atol=1e-6)
+        lambda a, b, c: jnp.sum(lattice.ssnt_loss(a, b, c, T_b, U_b)),
+        argnums=(0, 1, 2),
+    )(le, ls, lf)
+    for gp, gx, name in zip(g_p, g_x, ["emit", "shift", "frame"]):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-6, err_msg=name)
 
 
 def test_fused_with_ragged_lengths():
