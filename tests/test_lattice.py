@@ -144,6 +144,26 @@ def test_variable_length_grads_zero_outside():
         assert np.isfinite(g).all()
 
 
+def test_occupancy_posteriors_are_marginals():
+    """-d(loss)/d(log_frame[:, :, u]) sums to 1 over t for every valid frame
+    u (the occupancy posterior is a probability distribution over source
+    positions) — a strong structural check on the custom_vjp."""
+    rng = np.random.default_rng(11)
+    B, T, U = 3, 5, 12
+    le, ls, lf = rand_inputs(rng, B, T, U)
+    T_b = np.array([5, 4, 3], np.int32)
+    U_b = np.array([12, 8, 6], np.int32)
+    g_lf = jax.jit(
+        jax.grad(
+            lambda c: jnp.sum(lattice.ssnt_loss(le, ls, c, T_b, U_b)),
+        )
+    )(lf)
+    g_lf = np.asarray(g_lf)
+    for b in range(B):
+        occ = -g_lf[b, :, : U_b[b]].sum(axis=0)  # sum over t per frame
+        np.testing.assert_allclose(occ, 1.0, rtol=5e-4)
+
+
 # ------------------------------------------------------------- duration (v2)
 
 def brute_force_duration(log_h, durations, T, U):
