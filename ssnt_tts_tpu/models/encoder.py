@@ -50,29 +50,67 @@ class TextEncoder(nn.Module):
         return x.astype(jnp.float32)  # (B, T, dim)
 
 
-class DurationHead(nn.Module):
-    """Per-position duration-class log-probs for the v2 decoder/lattice."""
+class ClassHead(nn.Module):
+    """Per-position class head (duration or tone).
 
-    duration_class_size: int
+    `logits` exposes the pre-softmax scores so the AR head can add its
+    per-beam correction before normalization; `__call__` keeps the
+    per-position log-prob API used by the lattice NLL and the broadcast
+    decode path. Setup-based so both can be used in one trace."""
+
+    num_classes: int
+    hidden_dim: int
     dtype: Any = jnp.bfloat16
 
-    @nn.compact
+    def setup(self):
+        self.h1 = nn.Dense(self.hidden_dim, dtype=self.dtype)
+        self.out = nn.Dense(self.num_classes, dtype=jnp.float32)
+
+    def logits(self, enc):
+        return self.out(nn.relu(self.h1(enc)))
+
     def __call__(self, enc):
-        h = nn.Dense(enc.shape[-1], dtype=self.dtype)(enc)
-        h = nn.relu(h)
-        logits = nn.Dense(self.duration_class_size, dtype=jnp.float32)(h)
-        return nn.log_softmax(logits, axis=-1)
+        return nn.log_softmax(self.logits(enc), axis=-1)
 
 
-class ToneHead(nn.Module):
-    """Per-position tone-class log-probs for the tone-latent decoder."""
+class ARClassCell(nn.Module):
+    """Per-beam autoregressive class state (GRU over embedded class history).
 
-    tone_class_size: int
+    The reference's v2/tone ops take per-beam `h (B, W, D)` recomputed by the
+    caller from each beam's AR state every step
+    (ssnt-tts-tensorflow/src/ssnt_tts_v2_beam_search_decode_op.cc:29-50);
+    this cell is the model-side source of that state: beams diverge through
+    their own class histories, not just through constraint masks."""
+
+    num_classes: int
+    dim: int
     dtype: Any = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, enc):
-        h = nn.Dense(enc.shape[-1], dtype=self.dtype)(enc)
-        h = nn.relu(h)
-        logits = nn.Dense(self.tone_class_size, dtype=jnp.float32)(h)
-        return nn.log_softmax(logits, axis=-1)
+    def setup(self):
+        self.embed = nn.Embed(self.num_classes, self.dim, dtype=self.dtype)
+        self.enc_in = nn.Dense(self.dim, dtype=self.dtype)
+        self.cell = nn.GRUCell(self.dim, dtype=self.dtype)
+        self.out = nn.Dense(self.num_classes, dtype=jnp.float32)
+
+    def step(self, state, enc_t, prev_class, base_logits):
+        """One AR step. state (..., H); enc_t (..., Henc); prev_class (...,)
+        i32; base_logits (..., D) from the per-position head.
+        Returns (new_state, (..., D) log-probs)."""
+        x = self.embed(prev_class) + self.enc_in(enc_t)
+        new_state, out = self.cell(state, x)
+        logits = base_logits + self.out(out)
+        return new_state, nn.log_softmax(logits, axis=-1)
+
+    @staticmethod
+    def initial_state(batch_shape, dim):
+        return jnp.zeros(tuple(batch_shape) + (dim,), jnp.float32)
+
+
+def DurationHead(duration_class_size, hidden_dim, dtype=jnp.bfloat16):
+    """Per-position duration-class head for the v2 decoder/lattice."""
+    return ClassHead(duration_class_size, hidden_dim, dtype=dtype)
+
+
+def ToneHead(tone_class_size, hidden_dim, dtype=jnp.bfloat16):
+    """Per-position tone-class head for the tone-latent decoder."""
+    return ClassHead(tone_class_size, hidden_dim, dtype=dtype)

@@ -30,7 +30,12 @@ from ssnt_tts_tpu.models.decoder import (
     FrameJoint,
     TransitionJoint,
 )
-from ssnt_tts_tpu.models.encoder import DurationHead, TextEncoder, ToneHead
+from ssnt_tts_tpu.models.encoder import (
+    ARClassCell,
+    DurationHead,
+    TextEncoder,
+    ToneHead,
+)
 from ssnt_tts_tpu.models.layers import length_mask
 from ssnt_tts_tpu.ops import lattice, lattice_pallas
 from ssnt_tts_tpu.utils.config import ModelConfig
@@ -65,9 +70,18 @@ class SSNTModel(nn.Module):
         self.transition = TransitionJoint(rank=cfg.joint_rank, dtype=dtype)
         self.frame = FrameJoint(mel_dim=cfg.mel_dim, dtype=dtype)
         self.duration_head = DurationHead(
-            cfg.duration_class_size, dtype=dtype
+            cfg.duration_class_size, cfg.encoder_dim, dtype=dtype
         )
-        self.tone_head = ToneHead(cfg.tone_class_size, dtype=dtype)
+        self.tone_head = ToneHead(cfg.tone_class_size, cfg.encoder_dim,
+                                  dtype=dtype)
+        # Per-beam AR class state (reference production path feeds per-beam
+        # h (B, W, D) to the v2/tone ops — SURVEY §3.1, VERDICT r1 #2).
+        self.duration_ar = ARClassCell(
+            cfg.duration_class_size, cfg.decoder_dim, dtype=dtype
+        )
+        self.tone_ar = ARClassCell(
+            cfg.tone_class_size, cfg.decoder_dim, dtype=dtype
+        )
 
     # ------------------------------------------------------------- pieces
 
@@ -140,15 +154,31 @@ class SSNTModel(nn.Module):
         )
         denom = jnp.maximum(jnp.sum(tmask), 1)
         if duration_target is not None:
-            dlogp = self.duration_head(enc)  # (B, T, D)
+            # Teacher-forced AR CE — trains the same per-beam conditioning
+            # parameters v2_duration_decode steps with.
+            dlogp = self.duration_ar_log_probs(enc, duration_target)
             dur_nll = -jnp.take_along_axis(
                 dlogp, duration_target[..., None], axis=-1
             )[..., 0]
             dur_loss = jnp.sum(jnp.where(tmask, dur_nll, 0.0)) / denom
             loss = loss + dur_loss
             metrics["duration_nll"] = dur_loss
+        cfg = self.config
+        if cfg.use_duration_lattice and output_length is not None:
+            # Marginal likelihood over the v2 alignment space
+            # (src/v2.rs:119-166): sum over all class sequences whose
+            # durations total exactly output_length. Trains the per-position
+            # head without needing duration targets (VERDICT r1 #5).
+            dlogp_pos = self.duration_head(enc)  # (B, T, D)
+            dur_lat_nll = lattice.ssnt_duration_loss(
+                dlogp_pos, cfg.duration_table, input_length, output_length
+            )
+            frames_d = output_length.astype(jnp.float32)
+            dur_lat = jnp.mean(dur_lat_nll / jnp.maximum(frames_d, 1.0))
+            loss = loss + cfg.duration_lattice_weight * dur_lat
+            metrics["duration_lattice_nll_per_frame"] = dur_lat
         if tone_target is not None:
-            klogp = self.tone_head(enc)  # (B, T, K)
+            klogp = self.tone_ar_log_probs(enc, tone_target)  # (B, T, K)
             tone_nll = -jnp.take_along_axis(
                 klogp, tone_target[..., None], axis=-1
             )[..., 0]
@@ -161,12 +191,82 @@ class SSNTModel(nn.Module):
     # ------------------------------------------------------------- heads
 
     def duration_log_probs(self, tokens, input_length=None):
-        """(B, T, D) log-probs — the v2 beam step's `h` input."""
+        """(B, T, D) per-position log-probs (non-AR; the duration-lattice
+        NLL's input and the broadcast decode fallback)."""
         return self.duration_head(self.encode(tokens, input_length))
 
     def tone_log_probs(self, tokens, input_length=None):
-        """(B, T, K) log-probs — the tone-latent beam step's `h` input."""
+        """(B, T, K) per-position log-probs."""
         return self.tone_head(self.encode(tokens, input_length))
+
+    def _ar_class_log_probs(self, head, ar_cell, enc, classes):
+        """Teacher-forced AR class log-probs: (B, T) target ids ->
+        (B, T, D). Trains the same parameters the per-beam decode steps use,
+        so decode-time h is consistent with training."""
+        B, T, _ = enc.shape
+        base = head.logits(enc)  # (B, T, D)
+        prev = jnp.concatenate(
+            [jnp.zeros((B, 1), classes.dtype), classes[:, :-1]], axis=1
+        )
+
+        def body(mod, state, xs):
+            enc_t, prev_t, base_t = xs
+            return ar_cell.step(state, enc_t, prev_t, base_t)
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        state0 = ARClassCell.initial_state((B,), self.config.decoder_dim)
+        _, logp = scan(self, state0, (enc, prev, base))
+        return logp
+
+    def duration_ar_log_probs(self, enc, duration_classes):
+        return self._ar_class_log_probs(
+            self.duration_head, self.duration_ar, enc, duration_classes
+        )
+
+    def tone_ar_log_probs(self, enc, tone_classes):
+        return self._ar_class_log_probs(
+            self.tone_head, self.tone_ar, enc, tone_classes
+        )
+
+    def duration_decode_step(self, enc, beam_t, state, prev_class):
+        """Per-beam v2 conditioning (reference h input, SURVEY §3.1).
+
+        enc (B, T, H); beam_t (B, W) source positions; state (B, W, H');
+        prev_class (B, W) previous predicted duration class.
+        Returns (h (B, W, D) log-probs, new_state)."""
+        return self._class_decode_step(
+            self.duration_head, self.duration_ar, enc, beam_t, state,
+            prev_class,
+        )
+
+    def tone_decode_step(self, enc, beam_t, state, prev_class):
+        """Per-beam tone conditioning — (h (B, W, K), new_state)."""
+        return self._class_decode_step(
+            self.tone_head, self.tone_ar, enc, beam_t, state, prev_class
+        )
+
+    def _class_decode_step(self, head, ar_cell, enc, beam_t, state,
+                           prev_class):
+        B, T, _ = enc.shape
+        W = beam_t.shape[1]
+        enc_t = jnp.take_along_axis(
+            enc, jnp.clip(beam_t, 0, T - 1)[..., None], axis=1
+        )  # (B, W, H)
+        base = head.logits(enc_t)  # (B, W, D)
+        Hs = state.shape[-1]
+        new_state, h = ar_cell.step(
+            state.reshape(B * W, Hs),
+            enc_t.reshape(B * W, -1),
+            prev_class.reshape(B * W),
+            base.reshape(B * W, -1),
+        )
+        return h.reshape(B, W, -1), new_state.reshape(B, W, Hs)
 
     # ------------------------------------------------------------- decode
 

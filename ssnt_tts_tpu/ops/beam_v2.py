@@ -28,6 +28,10 @@ import jax
 import jax.numpy as jnp
 
 from .beam_common import select_beams
+from ssnt_tts_tpu.utils.config import V2BeamConfig
+
+# Reference defaults (src/v2.rs:96-116) — used when no config is passed.
+_DEFAULT_CONFIG = V2BeamConfig()
 
 _EQ_KEYS = (
     "prediction",
@@ -55,6 +59,7 @@ def beam_search_step(
     test_mode: bool,
     max_beam_width: int | None = None,
     return_num_survivors: bool = False,
+    config: V2BeamConfig | None = None,
 ):
     """One v2 beam step for a single utterance.
 
@@ -67,6 +72,9 @@ def beam_search_step(
         (ssnt_tts_tensorflow/__init__.py:47); the api wrapper does the same.
       zero_duration_id / allow_skip / test_mode: static attrs matching the TF
         op (ssnt_tts_v2_beam_search_decode_op.cc:39-43).
+      config: V2BeamConfig supplying the band fractions, overrun multiplier
+        and diagonal re-injection window. Defaults to the reference's
+        hard-coded constants (src/v2.rs:96-116).
 
     Returns:
       (prediction, log_prob, next_t, next_u, next_is_finished,
@@ -76,6 +84,7 @@ def beam_search_step(
     W, D = h.shape
     if max_beam_width is None:
         max_beam_width = W
+    cfg = config if config is not None else _DEFAULT_CONFIG
 
     t = t.astype(jnp.int32)
     u = u.astype(jnp.int32)
@@ -94,11 +103,12 @@ def beam_search_step(
     # Diagonal band in f32 with trunc-toward-zero casts (src/v2.rs:94-104).
     Uf = U.astype(jnp.float32)
     diag = Uf / T.astype(jnp.float32) * (t + 1).astype(jnp.float32)  # (W,)
-    lower = jnp.maximum(diag - Uf * 0.05, 0.0).astype(jnp.int32)
-    upper = jnp.minimum(diag + Uf * 0.1, Uf).astype(jnp.int32)
+    lower = jnp.maximum(diag - Uf * cfg.band_lower_frac, 0.0).astype(jnp.int32)
+    upper = jnp.minimum(diag + Uf * cfg.band_upper_frac, Uf).astype(jnp.int32)
     band_ok = (tot >= lower[:, None]) & (tot <= upper[:, None])
 
-    overrun = (T - (t + 1)) * 3 > U  # (W,), src/v2.rs:106-111
+    # src/v2.rs:106-111
+    overrun = (T - (t + 1)) * cfg.overrun_multiplier > U  # (W,)
     final_len_ok = (~last[:, None]) | (tot == U)
     class_ids = jnp.arange(D, dtype=jnp.int32)
     skip_ok = allow_skip | (class_ids != zero_duration_id)  # (D,)
@@ -144,7 +154,8 @@ def beam_search_step(
             Uf / T.astype(jnp.float32) * fields["next_t"].astype(jnp.float32)
         )
         diff = fields["total_duration"].astype(jnp.float32) - diag_next
-        diag_mask = (diff >= -20.0) & (diff <= 0.0)
+        lo, hi = cfg.diagonal_window
+        diag_mask = (diff >= lo) & (diff <= hi)
 
     out = select_beams(
         fields,
@@ -183,6 +194,8 @@ def beam_search_decode(
     zero_duration_id: int = 0,
     allow_skip: bool = False,
     test_mode: bool = False,
+    config: V2BeamConfig | None = None,
+    return_num_survivors: bool = False,
 ):
     """Batched v2 step, reference Python API parity
     (ssnt_tts_tensorflow/__init__.py:33-73).
@@ -206,6 +219,8 @@ def beam_search_decode(
         zero_duration_id=zero_duration_id,
         allow_skip=allow_skip,
         test_mode=test_mode,
+        config=config,
+        return_num_survivors=return_num_survivors,
     )
     return jax.vmap(step)(
         h, log_prob_history, is_finished, total_duration, t, u,

@@ -29,6 +29,7 @@ def beam_search_step(
     *,
     empty_tone_id: int,
     max_beam_width: int | None = None,
+    return_num_survivors: bool = False,
 ):
     """One tone-latent beam step for a single utterance.
 
@@ -76,7 +77,7 @@ def beam_search_step(
     out = select_beams(
         fields, valid.reshape(-1), fields["log_prob"], max_beam_width, _EQ_KEYS
     )
-    return (
+    result = (
         out["prediction"],
         out["log_prob"],
         out["next_t"],
@@ -84,6 +85,9 @@ def beam_search_step(
         out["is_finished"],
         out["parent_branch"],
     )
+    if return_num_survivors:
+        return result + (out["num_survivors"],)
+    return result
 
 
 def beam_search_decode(
@@ -96,6 +100,7 @@ def beam_search_decode(
     beam_width: int | None = None,
     tone_class_size: int | None = None,
     empty_tone_id: int = 0,
+    return_num_survivors: bool = False,
 ):
     """Batched tone-latent step, reference Python API parity
     (ssnt_tts_tensorflow/__init__.py:99-127). h: (B, W, K); state (B, W);
@@ -106,7 +111,8 @@ def beam_search_decode(
     if tone_class_size is not None and tone_class_size != K:
         raise ValueError(f"tone_class_size {tone_class_size} != {K}")
     step = lambda h_, lph, fin, t_, u_, il: beam_search_step(
-        h_, lph, fin, t_, u_, il, empty_tone_id=empty_tone_id
+        h_, lph, fin, t_, u_, il, empty_tone_id=empty_tone_id,
+        return_num_survivors=return_num_survivors,
     )
     return jax.vmap(step)(
         h, log_prob_history, is_finished, t, u,

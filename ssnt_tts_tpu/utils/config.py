@@ -69,6 +69,13 @@ class ModelConfig:
     # Lattice loss backend: "auto" uses the Pallas kernels on TPU and the
     # XLA scan elsewhere; "xla"/"pallas" force one.
     lattice_impl: str = "auto"
+    # Frames contributed by each duration class (v2 alignment space,
+    # src/v2.rs DecodingTable). Must have duration_class_size entries.
+    duration_table: Tuple[int, ...] = tuple(range(10))
+    # Train the per-position duration head by the duration-lattice marginal
+    # NLL (ops.lattice.ssnt_duration_loss) instead of only teacher-forced CE.
+    use_duration_lattice: bool = False
+    duration_lattice_weight: float = 1.0
 
 
 def tiny_model_config(**overrides) -> ModelConfig:
@@ -83,6 +90,7 @@ def tiny_model_config(**overrides) -> ModelConfig:
         joint_rank=8,
         duration_class_size=5,
         tone_class_size=4,
+        duration_table=tuple(range(5)),
         dtype="float32",
     )
     base.update(overrides)

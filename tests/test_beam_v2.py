@@ -211,3 +211,49 @@ def test_batched_wrapper():
         for k, got in zip(_NAMES, outs):
             np.testing.assert_array_equal(np.asarray(got)[b], want[k],
                                           err_msg=f"b={b} {k}")
+
+
+def test_config_round_trip():
+    """V2BeamConfig knobs actually reach the kernel (VERDICT r1 #3):
+    defaults reproduce the no-config result bit-exactly, and widening the
+    band / relaxing the overrun multiplier admits candidates the reference
+    constants prune (src/v2.rs:96-116 promoted to config fields)."""
+    from ssnt_tts_tpu.utils.config import V2BeamConfig
+
+    W, D = 3, 5
+    T, U = 10, 40
+    rng = np.random.default_rng(7)
+    h = np.log(rng.uniform(0.05, 1.0, (W, D))).astype(np.float32)
+    dur = np.array([0, 1, 4, 8, 12], np.int32)
+    lph = -rng.uniform(0, 2, W).astype(np.float32)
+    fin = np.zeros(W, bool)
+    tpos = 4
+    diag = int(U / T * (tpos + 1))
+    tot = np.clip(diag - 3 + rng.integers(0, 6, W), 0, U).astype(np.int32)
+    t = np.full(W, tpos, np.int32)
+    u = np.full(W, tpos, np.int32)
+
+    args = (
+        jnp.asarray(h), jnp.asarray(lph), jnp.asarray(fin),
+        jnp.asarray(tot), jnp.asarray(dur), jnp.asarray(t),
+        jnp.asarray(u), T, U,
+    )
+    kw = dict(zero_duration_id=0, allow_skip=False, test_mode=False,
+              return_num_survivors=True)
+    base = beam_v2.beam_search_step(*args, **kw)
+    explicit_default = beam_v2.beam_search_step(
+        *args, **kw, config=V2BeamConfig()
+    )
+    for a, b in zip(base, explicit_default):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # A band wide enough to admit every total (and no overrun prune) must
+    # admit at least as many candidates as the reference constants.
+    wide = V2BeamConfig(band_lower_frac=10.0, band_upper_frac=10.0,
+                        overrun_multiplier=0)
+    relaxed = beam_v2.beam_search_step(*args, **kw, config=wide)
+    assert int(relaxed[-1]) >= int(base[-1])
+    # The reference band genuinely prunes something in this scenario, so the
+    # relaxed config must differ — proving the constants are no longer
+    # hard-coded in the kernel.
+    assert int(relaxed[-1]) > int(base[-1])

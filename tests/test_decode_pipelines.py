@@ -147,3 +147,83 @@ def test_tone_decode_and_edit_distance_eval(model_and_params):
     d = np.asarray(d)
     assert d.shape == (B,)
     assert (d >= 0).all() and (d <= np.asarray(batch["input_length"])).all()
+
+
+def test_v2_per_beam_conditioning_diverges(model_and_params):
+    """VERDICT r1 #2: beams must diverge through per-beam h (B, W, D) — the
+    AR class state — not just constraint masks. With per-beam conditioning,
+    different class histories produce different h rows."""
+    model, params, batch = model_and_params
+    # Direct check: duration_decode_step yields different rows for beams at
+    # the same position with different class histories.
+    enc = model.apply(params, batch["tokens"], batch["input_length"],
+                      method=model.encode)
+    W = 4
+    Hs = model.config.decoder_dim
+    beam_t = jnp.ones((B, W), jnp.int32)
+    state = jnp.asarray(
+        np.random.default_rng(1).normal(0, 1, (B, W, Hs)), jnp.float32
+    )
+    prev_class = jnp.asarray(
+        np.arange(W)[None].repeat(B, 0) % model.config.duration_class_size,
+        jnp.int32,
+    )
+    h, new_state = model.apply(
+        params, enc, beam_t, state, prev_class,
+        method=model.duration_decode_step,
+    )
+    h = np.asarray(h)
+    assert h.shape == (B, W, model.config.duration_class_size)
+    # Rows differ across beams (same position, different histories).
+    assert not np.allclose(h[0, 0], h[0, 1])
+    # And the full pipeline produces distinct per-beam log-probs.
+    dur_table = np.array([0, 1, 2, 3, 4], np.int32)
+    out = jax.jit(
+        lambda p, tok, il, ol: decode_lib.v2_duration_decode(
+            model, p, tok, il, ol, dur_table,
+            beam_width=W, max_frames=U, test_mode=True,
+        )
+    )(params, batch["tokens"], batch["input_length"],
+      batch["output_length"])
+    lp = np.asarray(out["log_prob"])
+    assert len(np.unique(lp[0])) > 1
+
+
+def test_v2_beam_emptied_flag(model_and_params):
+    """VERDICT r1 #4: an infeasible output_length must be *flagged* via
+    beam_emptied (the reference would panic, src/v2.rs:292), not silently
+    padded."""
+    model, params, batch = model_and_params
+    W = 4
+    dur_table = np.array([0, 1, 2, 3, 4], np.int32)
+    fn = jax.jit(
+        lambda p, tok, il, ol: decode_lib.v2_duration_decode(
+            model, p, tok, il, ol, dur_table,
+            beam_width=W, max_frames=512, test_mode=False,
+        )
+    )
+    # Feasible: 3 frames per source position (the overrun prune demands
+    # U >= 3*(T-1), src/v2.rs:106-111).
+    il = batch["input_length"]
+    feas = fn(params, batch["tokens"], il, 3 * il)
+    assert not np.asarray(feas["beam_emptied"]).any()
+    # Infeasible: output_length far beyond max_duration * T — every class
+    # falls outside the band/final-length constraints at some step.
+    ol_bad = jnp.full((B,), 500, jnp.int32)
+    bad = fn(params, batch["tokens"], il, ol_bad)
+    assert np.asarray(bad["beam_emptied"]).all()
+
+
+def test_tone_decode_per_beam_conditioning(model_and_params):
+    """Tone pipeline threads per-beam AR state; beams expose distinct
+    cumulative log-probs."""
+    model, params, batch = model_and_params
+    W = 4
+    out = jax.jit(
+        lambda p, tok, il: decode_lib.tone_decode(
+            model, p, tok, il, beam_width=W,
+        )
+    )(params, batch["tokens"], batch["input_length"])
+    lp = np.asarray(out["log_prob"])
+    assert len(np.unique(lp[0])) > 1
+    assert len(np.unique(lp[1])) > 1
