@@ -12,53 +12,37 @@ Roofline model: the fused fwd+bwd DP moves ~56 B/cell of HBM traffic
 write 3 grads 12B + beta traffic ~12B). On a v5e chip (~819 GB/s) that is
 ~14.6 Gcells/s; target = 0.7 * roofline.
 
-Extras: decode audio-seconds/s at beam=8 (frame hop 12.5 ms), and lattice
-forward-only throughput.
+Decode gets its own derived target (see _decode_step_budget): the per-frame
+cost model of the scan-based beam decode (joint matmuls + top-k) on this
+chip, so decode throughput is judged against a roofline, not a floating
+number.
+
+MEASUREMENT: all timings use ssnt_tts_tpu.utils.timing (chained lax.scan +
+on-device scalar fetch + two-point slope). On the tunneled TPU,
+jax.block_until_ready does NOT wait for execution and every fetch pays a
+fixed ~25-30 ms RPC; naive timing (used in round 1) measures the tunnel,
+not the kernel.
 """
 
 import json
-import time
+import os
+import sys
+import time as _time
 
 import numpy as np
 
-
-def _bench(fn, *args, iters=20, warmup=3):
-    import jax
-
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+_T0 = _time.time()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2100"))
 
 
-def _bench_chained(make_step, x0, iters=50, warmup=1, repeats=3):
-    """Time `iters` data-dependent repetitions of a step INSIDE one jit, so
-    host->device dispatch latency (large over the tunneled chip) is excluded.
-    make_step(x) must return an array pytree with the same structure as x and
-    a true data dependency on it. Returns median seconds per step."""
-    import jax
-    import jax.numpy as jnp
+def _prog(msg):
+    print(f"[bench +{_time.time()-_T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
-    @jax.jit
-    def run(x):
-        def body(c, _):
-            return make_step(c), None
 
-        out, _ = jax.lax.scan(body, x, None, length=iters)
-        return out
-
-    jax.block_until_ready(run(x0))  # compile + warmup
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(x0))
-        times.append((time.perf_counter() - t0) / iters)
-    times.sort()
-    return times[len(times) // 2]
+def _have_time():
+    """Remote compiles cost minutes each; always leave room to print the
+    primary JSON line before any driver-side timeout."""
+    return _time.time() - _T0 < _BUDGET_S
 
 
 def main():
@@ -66,9 +50,11 @@ def main():
     import jax.numpy as jnp
 
     from ssnt_tts_tpu.ops import lattice, lattice_pallas
+    from ssnt_tts_tpu.utils.timing import bench_fn, bench_step
 
     dev = jax.devices()[0]
     extras = {"device": str(dev), "platform": dev.platform}
+    on_cpu = dev.platform == "cpu"
 
     # ---- primary: lattice fwd+bwd (B=32, T=80 tokens, U=400 frames) ----
     B, T, U = 32, 80, 400
@@ -82,94 +68,88 @@ def main():
     U_b = jnp.full((B,), U, jnp.int32)
     cells = B * T * U
 
-    def fwd_step(loss_fn):
-        # Chain: perturb le by the (tiny) loss so each scan iteration truly
-        # depends on the previous one — no hoisting, no dispatch in the loop.
-        def step(x):
-            out = loss_fn(x, ls, lf)
-            return x + out[0] * 1e-12
-
-        return step
-
-    def grad_step(loss_fn):
-        def step(x):
-            g = jax.grad(
-                lambda a: jnp.sum(loss_fn(a, ls, lf))
-            )(x)
-            return x + g * 1e-12
-
-        return step
+    def grad_of(loss_fn):
+        return lambda a, b, c: jax.grad(
+            lambda x: jnp.sum(loss_fn(x, b, c))
+        )(a)
 
     xla_loss = lambda a, b, c: lattice.ssnt_loss(a, b, c, T_b, U_b)
     pallas_loss = lambda a, b, c: lattice_pallas.ssnt_loss_pallas(
         a, b, c, T_b, U_b
     )
 
-    dt_fwdbwd = _bench_chained(grad_step(xla_loss), le)
-    extras["lattice_fwdbwd_xla_Mcells_per_s"] = round(
-        cells / dt_fwdbwd / 1e6, 1
-    )
-    dt_fwd = _bench_chained(fwd_step(xla_loss), le)
-    extras["lattice_fwd_xla_Mcells_per_s"] = round(cells / dt_fwd / 1e6, 1)
     extras["lattice_shape"] = f"B{B}xT{T}xU{U}"
 
-    # Pallas kernels (compiled path; skipped gracefully off-TPU).
+    # Pallas kernels first: the primary metric (skipped gracefully off-TPU).
     dt_fwdbwd_pallas = None
-    try:
-        dt_fwdbwd_pallas = _bench_chained(grad_step(pallas_loss), le)
-        extras["lattice_fwdbwd_pallas_Mcells_per_s"] = round(
-            cells / dt_fwdbwd_pallas / 1e6, 1
-        )
-        dt_fwd_pallas = _bench_chained(fwd_step(pallas_loss), le)
-        extras["lattice_fwd_pallas_Mcells_per_s"] = round(
-            cells / dt_fwd_pallas / 1e6, 1
-        )
-        # Cross-check implementations agree on hardware.
-        delta = float(
-            jnp.max(
-                jnp.abs(
-                    jax.jit(pallas_loss)(le, ls, lf)
-                    - jax.jit(xla_loss)(le, ls, lf)
+    if not on_cpu:
+        try:
+            _prog("pallas fwdbwd (primary)...")
+            dt_fwdbwd_pallas = bench_fn(grad_of(pallas_loss), le, ls, lf)
+            extras["lattice_fwdbwd_pallas_Mcells_per_s"] = round(
+                cells / dt_fwdbwd_pallas / 1e6, 1
+            )
+            _prog("pallas fwd...")
+            dt_fwd_pallas = bench_fn(pallas_loss, le, ls, lf)
+            extras["lattice_fwd_pallas_Mcells_per_s"] = round(
+                cells / dt_fwd_pallas / 1e6, 1
+            )
+            # Cross-check implementations agree on hardware.
+            delta = float(
+                jnp.max(
+                    jnp.abs(
+                        jax.jit(pallas_loss)(le, ls, lf)
+                        - jax.jit(xla_loss)(le, ls, lf)
+                    )
                 )
             )
-        )
-        extras["pallas_vs_xla_max_abs_diff"] = round(delta, 6)
-    except Exception as e:  # pragma: no cover
-        extras["pallas_error"] = repr(e)[:200]
+            extras["pallas_vs_xla_max_abs_diff"] = round(delta, 6)
+        except Exception as e:  # pragma: no cover
+            extras["pallas_error"] = repr(e)[:200]
 
-    if dt_fwdbwd_pallas is not None and dt_fwdbwd_pallas < dt_fwdbwd:
+    dt_fwdbwd = None
+    if dt_fwdbwd_pallas is None or on_cpu:
+        _prog("xla fwdbwd (fallback)...")
+        dt_fwdbwd = bench_fn(grad_of(xla_loss), le, ls, lf,
+                             n_lo=4, n_hi=12 if on_cpu else 40)
+        extras["lattice_fwdbwd_xla_Mcells_per_s"] = round(
+            cells / dt_fwdbwd / 1e6, 1
+        )
+
+    if dt_fwdbwd_pallas is not None and (
+        dt_fwdbwd is None or dt_fwdbwd_pallas < dt_fwdbwd
+    ):
         dt_fwdbwd = dt_fwdbwd_pallas
     mcells_fwdbwd = cells / dt_fwdbwd / 1e6
 
-    # Production-batch scaling point (BASELINE config-4 scale, B=256): the
-    # column-scan kernel is chain-latency-bound at B=32 and saturates near
-    # the HBM roofline at production batch.
+    # Production-batch scaling point (BASELINE config-4 scale, B=256).
+    if not on_cpu and _have_time():
+        try:
+            B2 = 256
+            le2 = jnp.asarray(
+                np.log(rng.uniform(0.1, 0.9, (B2, T, U))), jnp.float32
+            )
+            ls2 = jnp.log1p(-jnp.exp(le2))
+            lf2 = jnp.asarray(rng.normal(0, 0.5, (B2, T, U)), jnp.float32)
+            T_b2 = jnp.full((B2,), T, jnp.int32)
+            U_b2 = jnp.full((B2,), U, jnp.int32)
+            loss256 = lambda a, b, c: lattice_pallas.ssnt_loss_pallas(
+                a, b, c, T_b2, U_b2
+            )
+            _prog("pallas B256...")
+            dt256 = bench_fn(grad_of(loss256), le2, ls2, lf2,
+                             n_lo=6, n_hi=24)
+            mc256 = B2 * T * U / dt256 / 1e6
+            extras["lattice_fwdbwd_pallas_B256_Mcells_per_s"] = round(
+                mc256, 1
+            )
+        except Exception as e:  # pragma: no cover
+            extras["b256_error"] = repr(e)[:200]
+
+    # ---- decode audio-seconds/s @ beam=8, with a derived step budget ----
     try:
-        B2 = 256
-        le2 = jnp.asarray(
-            np.log(rng.uniform(0.1, 0.9, (B2, T, U))), jnp.float32
-        )
-        ls2 = jnp.log1p(-jnp.exp(le2))
-        lf2 = jnp.asarray(rng.normal(0, 0.5, (B2, T, U)), jnp.float32)
-        T_b2 = jnp.full((B2,), T, jnp.int32)
-        U_b2 = jnp.full((B2,), U, jnp.int32)
-
-        def grad_step_256(x):
-            g = jax.grad(
-                lambda a: jnp.sum(
-                    lattice_pallas.ssnt_loss_pallas(a, ls2, lf2, T_b2, U_b2)
-                )
-            )(x)
-            return x + g * 1e-12
-
-        dt256 = _bench_chained(grad_step_256, le2, iters=20)
-        mc256 = B2 * T * U / dt256 / 1e6
-        extras["lattice_fwdbwd_pallas_B256_Mcells_per_s"] = round(mc256, 1)
-    except Exception as e:  # pragma: no cover
-        extras["b256_error"] = repr(e)[:200]
-
-    # ---- decode audio-seconds/s @ beam=8 ----
-    try:
+        if not _have_time():
+            raise TimeoutError("bench budget exhausted before decode section")
         from ssnt_tts_tpu.models import SSNTModel
         from ssnt_tts_tpu.parallel import decode as decode_lib
         from ssnt_tts_tpu.parallel import train as train_lib
@@ -194,54 +174,76 @@ def main():
         state = train_lib.init_train_state(
             model, jax.random.PRNGKey(0), batch, TrainConfig(warmup_steps=2)
         )
-        dec_fn = jax.jit(
-            lambda p, tok, il: decode_lib.beam_decode(
-                model, p, tok, il, max_frames=Ud, beam_width=W
-            )
-        )
-        dt_dec = _bench(
-            dec_fn, state.params, batch["tokens"], batch["input_length"],
-            iters=5, warmup=2,
-        )
+
         frame_hop_s = 0.0125
+
+        def decode_dt(toks, il, n_lo, n_hi):
+            # Chain whole decodes: perturb params leaf by decode output.
+            def step(p):
+                out = decode_lib.beam_decode(
+                    model, p, toks, il, max_frames=Ud, beam_width=W
+                )
+                leaf = jax.tree.leaves(out)[0]
+                eps = jnp.asarray(leaf, jnp.float32).ravel()[0] * 1e-20
+                return jax.tree.map(lambda q: q + eps, p)
+
+            from ssnt_tts_tpu.utils.timing import bench_step as _bs
+            return _bs(step, state.params, n_lo=n_lo, n_hi=n_hi)
+
+        _prog("decode B32...")
+        dt_dec = decode_dt(batch["tokens"], batch["input_length"],
+                           2, 8 if on_cpu else 16)
         audio_s_per_s = Bd * Ud * frame_hop_s / dt_dec
         extras["decode_audio_s_per_s_beam8"] = round(audio_s_per_s, 1)
-        extras["decode_ms_per_frame_batch32"] = round(
-            dt_dec / Ud * 1e3, 3
-        )
+        extras["decode_ms_per_frame_batch32"] = round(dt_dec / Ud * 1e3, 4)
 
-        train_fn = jax.jit(
-            lambda s, b: train_lib.train_step(
-                model, train_lib.make_optimizer(TrainConfig(warmup_steps=2)),
-                s, b,
-            )[1]["loss"]
-        )
-        dt_train = _bench(train_fn, state, batch, iters=5, warmup=2)
-        extras["train_step_ms_B32"] = round(dt_train * 1e3, 1)
+        # Derived decode budget: per frame the beam decode runs the AR
+        # decoder cell + joint for B*W hypotheses (see parallel/decode.py).
+        # Dominant matmul work per frame ~= B*W * (decoder cell 2*(2d*4d)
+        # fused gates + joint 2*d*r + output 2*r*D) flops; on this chip
+        # assume ~50 Tflop/s effective MXU f32->bf16 and ~3x latency slack
+        # for the small-matmul + top-k overhead (measured on v5e).
+        d, r, D = cfg.decoder_dim, cfg.joint_rank, cfg.mel_dim
+        flops_frame = Bd * W * (2 * d * 4 * d * 2 + 2 * d * r + 2 * r * D)
+        budget_s = max(flops_frame / 50e12 * 3.0, 6e-6)
+        extras["decode_frame_budget_us"] = round(budget_s * 1e6, 1)
+        extras["decode_vs_budget"] = round(budget_s / dt_dec * Ud, 3)
 
-        # Production-batch decode point: per-step op overhead amortizes
-        # across the batch, so audio-s/s scales with B.
-        Bd2 = 256
-        toks2 = jnp.asarray(
-            rng.integers(1, cfg.vocab_size, (Bd2, Td)), jnp.int32
-        )
-        il2 = jnp.full((Bd2,), Td, jnp.int32)
-        dt_dec2 = _bench(
-            dec_fn, state.params, toks2, il2, iters=3, warmup=1
-        )
-        extras["decode_audio_s_per_s_beam8_B256"] = round(
-            Bd2 * Ud * frame_hop_s / dt_dec2, 1
-        )
+        # Train step at B=32.
+        opt = train_lib.make_optimizer(TrainConfig(warmup_steps=2))
+
+        def train_step_chain(s):
+            s2, _ = train_lib.train_step(model, opt, s, batch)
+            return s2
+
+        if _have_time():
+            _prog("train step...")
+            dt_train = bench_step(train_step_chain, state,
+                                  n_lo=2, n_hi=8 if on_cpu else 16)
+            extras["train_step_ms_B32"] = round(dt_train * 1e3, 2)
+
+        if not on_cpu and _have_time():
+            Bd2 = 256
+            toks2 = jnp.asarray(
+                rng.integers(1, cfg.vocab_size, (Bd2, Td)), jnp.int32
+            )
+            il2 = jnp.full((Bd2,), Td, jnp.int32)
+            _prog("decode B256...")
+            dt_dec2 = decode_dt(toks2, il2, 2, 8)
+            extras["decode_audio_s_per_s_beam8_B256"] = round(
+                Bd2 * Ud * frame_hop_s / dt_dec2, 1
+            )
     except Exception as e:  # pragma: no cover
-        extras["decode_error"] = repr(e)
+        extras["decode_error"] = repr(e)[:300]
 
     # ---- roofline target ----
-    hbm_gbps = 819.0 if dev.platform != "cpu" else 50.0
+    hbm_gbps = 819.0 if not on_cpu else 50.0
     bytes_per_cell = 56.0
     roofline_mcells = hbm_gbps * 1e9 / bytes_per_cell / 1e6
     target = 0.7 * roofline_mcells
     extras["roofline_Mcells_per_s"] = round(roofline_mcells, 1)
 
+    _prog("done")
     print(
         json.dumps(
             {

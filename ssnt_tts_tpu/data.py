@@ -115,8 +115,9 @@ def prefetch_to_device(
                 else:
                     batch = jax.device_put(batch)
                 q.put(batch)
-        finally:
             q.put(_SENTINEL)
+        except BaseException as e:  # propagate to the consumer
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -124,4 +125,6 @@ def prefetch_to_device(
         item = q.get()
         if item is _SENTINEL:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

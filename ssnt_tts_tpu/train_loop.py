@@ -18,6 +18,7 @@ import jax
 import numpy as np
 
 from ssnt_tts_tpu import data as data_lib
+from ssnt_tts_tpu import data_files as data_files_lib
 from ssnt_tts_tpu.models import SSNTModel
 from ssnt_tts_tpu.parallel import mesh as mesh_lib
 from ssnt_tts_tpu.parallel import train as train_lib
@@ -40,26 +41,43 @@ def run_training(
     log_every: int = 50,
     metrics_path: Optional[str] = None,
     seed: int = 0,
+    data_dir: Optional[str] = None,
 ) -> Dict[str, float]:
+    """Train for num_steps. With ``data_dir``, batches come from .npz shards
+    via data_files.NpzShardDataset (length-bucketed static shapes; one XLA
+    compilation per bucket; padding efficiency logged alongside the training
+    metrics); otherwise from the synthetic generator."""
     cfg = model_config or ModelConfig()
     tcfg = train_config or TrainConfig()
     model = SSNTModel(cfg)
     mesh = mesh_lib.make_mesh(mesh_config)
 
-    ds = data_lib.SyntheticTTSDataset(
-        vocab_size=cfg.vocab_size,
-        mel_dim=cfg.mel_dim,
-        max_input_length=tcfg.max_input_length,
-        max_output_length=tcfg.max_output_length,
-        duration_class_size=cfg.duration_class_size,
-        tone_class_size=cfg.tone_class_size,
-        seed=seed,
-    )
-    first = {
-        k: v
-        for k, v in ds.batch(tcfg.batch_size).items()
-        if k != "alignment"
-    }
+    file_ds = None
+    if data_dir is not None:
+        file_ds = data_files_lib.NpzShardDataset(data_dir)
+        raw_batches = file_ds.batches(tcfg.batch_size, shuffle_seed=seed)
+        first = next(
+            file_ds.batches(tcfg.batch_size, shuffle_seed=seed)
+        )
+    else:
+        ds = data_lib.SyntheticTTSDataset(
+            vocab_size=cfg.vocab_size,
+            mel_dim=cfg.mel_dim,
+            max_input_length=tcfg.max_input_length,
+            max_output_length=tcfg.max_output_length,
+            duration_class_size=cfg.duration_class_size,
+            tone_class_size=cfg.tone_class_size,
+            seed=seed,
+        )
+        raw_batches = (
+            {k: v for k, v in b.items() if k != "alignment"}
+            for b in ds.batches(tcfg.batch_size)
+        )
+        first = {
+            k: v
+            for k, v in ds.batch(tcfg.batch_size).items()
+            if k != "alignment"
+        }
     state = train_lib.init_train_state(
         model, jax.random.PRNGKey(seed), first, tcfg
     )
@@ -73,10 +91,7 @@ def run_training(
 
     logger = MetricsLogger(metrics_path)
     batches = data_lib.prefetch_to_device(
-        (
-            {k: v for k, v in b.items() if k != "alignment"}
-            for b in ds.batches(tcfg.batch_size)
-        ),
+        raw_batches,
         sharding=mesh_lib.data_sharding(mesh),
     )
     last_metrics: Dict[str, float] = {}
@@ -87,6 +102,13 @@ def run_training(
             last_metrics = {
                 k: float(np.asarray(v)) for k, v in metrics.items()
             }
+            if file_ds is not None:
+                last_metrics["token_padding_efficiency"] = (
+                    file_ds.stats.token_efficiency
+                )
+                last_metrics["frame_padding_efficiency"] = (
+                    file_ds.stats.frame_efficiency
+                )
             logger.log(i + 1, last_metrics)
         if checkpoint_dir and (
             (i + 1) % checkpoint_every == 0 or i + 1 == num_steps

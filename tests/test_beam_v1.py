@@ -162,3 +162,44 @@ def test_batched_wrapper():
         for k, got in zip(names, outs):
             np.testing.assert_array_equal(np.asarray(got)[b], want[k],
                                           err_msg=f"b={b} {k}")
+
+
+def test_widening_beam_loop():
+    """Multi-step decode loop exercising the pad-to-max generality
+    (src/lib.rs:163-167): the first step widens W_in=2 -> W_out=5 by
+    pad-by-repetition, and every later step runs at the widened width.
+    Each step is conformance-checked against the numpy oracle, feeding
+    the previous step's outputs back in (the reference call shape,
+    SURVEY.md §3.2)."""
+    T, W_in, W_out = 6, 2, 5
+    rng = np.random.default_rng(7)
+
+    lph = np.zeros(W_in, np.float32)
+    fin = np.zeros(W_in, bool)
+    t = np.zeros(W_in, np.int32)
+    u = np.zeros(W_in, np.int32)
+
+    widened_once = False
+    for step_i in range(7):
+        W_cur = len(lph)
+        h = np.log(rng.uniform(0.05, 1.0, (W_cur, 2))).astype(np.float32)
+        got = run_jax(h, lph, fin, t, u, T, max_beam_width=W_out)
+        want = oracle.candidates_to_arrays(
+            oracle.v1_beam_search_kernel(h, lph, fin, t, u, T, W_out)
+        )
+        for k in want:
+            np.testing.assert_array_equal(
+                got[k], want[k], err_msg=f"step {step_i} {k}"
+            )
+        assert got["log_prob"].shape == (W_out,)
+        if step_i == 0:
+            # The widening step must pad by repeating top hypotheses.
+            assert W_cur == W_in
+            widened_once = True
+        lph = got["log_prob"]
+        fin = got["is_finished"]
+        t = got["next_t"]
+        u = got["next_u"]
+    assert widened_once
+    # The widened beam persisted through every later step.
+    assert lph.shape == (W_out,) and t.shape == (W_out,)
