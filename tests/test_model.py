@@ -146,3 +146,85 @@ def test_duration_and_tone_heads(model_and_state):
     # log-softmax: rows normalize.
     np.testing.assert_allclose(np.exp(dlp).sum(-1), 1.0, rtol=1e-4)
     np.testing.assert_allclose(np.exp(klp).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_duration_lattice_term_trains_and_decodes():
+    """VERDICT r1 #5 end-to-end: with use_duration_lattice=True, the
+    duration-lattice marginal NLL (ops.lattice.ssnt_duration_loss over the
+    v2 alignment space, src/v2.rs:119-166) appears in the metrics, decreases
+    under training, and the v2 decode afterwards satisfies the duration
+    constraints."""
+    import optax
+    from ssnt_tts_tpu.parallel import decode as decode_lib
+    from ssnt_tts_tpu.utils.config import tiny_model_config
+
+    cfg = tiny_model_config(use_duration_lattice=True,
+                            duration_lattice_weight=1.0)
+    model = SSNTModel(cfg)
+    rng = np.random.default_rng(5)
+    B, T, U = 4, 6, 18
+    batch = {
+        "tokens": jnp.asarray(rng.integers(1, cfg.vocab_size, (B, T)),
+                              jnp.int32),
+        "mel": jnp.asarray(rng.normal(0, 1, (B, U, cfg.mel_dim)),
+                           jnp.float32),
+        "input_length": jnp.asarray([T, T, T - 1, T - 2], jnp.int32),
+        "output_length": jnp.asarray([U, U - 3, U - 5, U - 8], jnp.int32),
+    }
+    # Init with duration/tone targets so every submodule (incl. the AR
+    # conditioning cells the decode steps use) gets parameters.
+    dur_t = jnp.asarray(
+        rng.integers(0, cfg.duration_class_size, (B, T)), jnp.int32
+    )
+    tone_t = jnp.asarray(
+        rng.integers(0, cfg.tone_class_size, (B, T)), jnp.int32
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), batch["tokens"], batch["mel"],
+        batch["input_length"], batch["output_length"], dur_t, tone_t,
+        method=model.loss,
+    )
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        def lf(p_):
+            loss, metrics = model.apply(
+                p_, batch["tokens"], batch["mel"], batch["input_length"],
+                batch["output_length"], method=model.loss,
+            )
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(p)
+        updates, o2 = tx.update(grads, o)
+        return optax.apply_updates(p, updates), o2, metrics
+
+    first = last = None
+    for _ in range(30):
+        params, opt_state, metrics = step(params, opt_state)
+        v = float(metrics["duration_lattice_nll_per_frame"])
+        assert np.isfinite(v)
+        if first is None:
+            first = v
+        last = v
+    assert last < first, (first, last)
+
+    # Decode with the trained duration head: constraints must hold.
+    out = jax.jit(
+        lambda p: decode_lib.v2_duration_decode(
+            model, p, batch["tokens"], batch["input_length"],
+            batch["output_length"], cfg.duration_table,
+            beam_width=3, max_frames=U,
+        )
+    )(params)
+    durs = np.asarray(out["durations"])
+    ol = np.asarray(out["output_length"])
+    np.testing.assert_array_equal(durs.sum(-1), ol)
+    # Feasible targets: the decoder must land exactly on output_length
+    # wherever the beam never emptied.
+    emptied = np.asarray(out["beam_emptied"])
+    want = np.asarray(batch["output_length"])
+    for b in range(B):
+        if not emptied[b]:
+            assert ol[b, 0] == want[b], (b, ol[b], want[b])
