@@ -57,13 +57,16 @@ def main():
     on_cpu = dev.platform == "cpu"
 
     # ---- primary: lattice fwd+bwd (B=32, T=80 tokens, U=400 frames) ----
+    # Inputs in the framework-native time-major (U, B, T) layout — what the
+    # model's joints emit directly (models/decoder.py), so the measurement
+    # matches the production train-step path (no full-lattice transposes).
     B, T, U = 32, 80, 400
     rng = np.random.default_rng(0)
     le = jnp.asarray(
-        np.log(rng.uniform(0.1, 0.9, (B, T, U))), jnp.float32
+        np.log(rng.uniform(0.1, 0.9, (U, B, T))), jnp.float32
     )
     ls = jnp.log1p(-jnp.exp(le))
-    lf = jnp.asarray(rng.normal(0, 0.5, (B, T, U)), jnp.float32)
+    lf = jnp.asarray(rng.normal(0, 0.5, (U, B, T)), jnp.float32)
     T_b = jnp.full((B,), T, jnp.int32)
     U_b = jnp.full((B,), U, jnp.int32)
     cells = B * T * U
@@ -73,9 +76,11 @@ def main():
             lambda x: jnp.sum(loss_fn(x, b, c))
         )(a)
 
-    xla_loss = lambda a, b, c: lattice.ssnt_loss(a, b, c, T_b, U_b)
+    xla_loss = lambda a, b, c: lattice.ssnt_loss(
+        a, b, c, T_b, U_b, layout="ubt"
+    )
     pallas_loss = lambda a, b, c: lattice_pallas.ssnt_loss_pallas(
-        a, b, c, T_b, U_b
+        a, b, c, T_b, U_b, layout="ubt"
     )
 
     extras["lattice_shape"] = f"B{B}xT{T}xU{U}"
@@ -127,14 +132,14 @@ def main():
         try:
             B2 = 256
             le2 = jnp.asarray(
-                np.log(rng.uniform(0.1, 0.9, (B2, T, U))), jnp.float32
+                np.log(rng.uniform(0.1, 0.9, (U, B2, T))), jnp.float32
             )
             ls2 = jnp.log1p(-jnp.exp(le2))
-            lf2 = jnp.asarray(rng.normal(0, 0.5, (B2, T, U)), jnp.float32)
+            lf2 = jnp.asarray(rng.normal(0, 0.5, (U, B2, T)), jnp.float32)
             T_b2 = jnp.full((B2,), T, jnp.int32)
             U_b2 = jnp.full((B2,), U, jnp.int32)
             loss256 = lambda a, b, c: lattice_pallas.ssnt_loss_pallas(
-                a, b, c, T_b2, U_b2
+                a, b, c, T_b2, U_b2, layout="ubt"
             )
             _prog("pallas B256...")
             dt256 = bench_fn(grad_of(loss256), le2, ls2, lf2,

@@ -85,7 +85,9 @@ class TransitionJoint(nn.Module):
         return p, q
 
     def __call__(self, enc, dec) -> Tuple[jax.Array, jax.Array]:
-        """Full lattice: enc (B, T, H), dec (B, U, H) -> two (B, T, U)."""
+        """Full lattice, time-major: enc (B, T, H), dec (B, U, H) -> two
+        (U, B, T) — the layout the lattice kernels consume, emitted directly
+        by the MXU contraction (no full-lattice transpose ever exists)."""
         R = self.rank
         p, q = self._factors(enc, dec)
         B, T = p.shape[0], p.shape[1]
@@ -93,12 +95,12 @@ class TransitionJoint(nn.Module):
         p = p.reshape(B, T, 2, R)
         q = q.reshape(B, U, 2, R)
         logits = jnp.einsum(
-            "btkr,bukr->btuk", p, q, preferred_element_type=jnp.float32
+            "btkr,bukr->ubtk", p, q, preferred_element_type=jnp.float32
         )
         logits = (
             logits
-            + self.enc_bias(enc)[:, :, None, :]
-            + self.dec_bias(dec)[:, None, :, :]
+            + self.enc_bias(enc)[None, :, :, :]
+            + jnp.transpose(self.dec_bias(dec), (1, 0, 2))[:, :, None, :]
         )
         le, ls = logits[..., 0], logits[..., 1]
         norm = jnp.logaddexp(le, ls)
@@ -133,18 +135,18 @@ class FrameJoint(nn.Module):
         )
 
     def __call__(self, enc, dec, mel_target) -> jax.Array:
-        """Full lattice: -> (B, T, U) log-likelihoods."""
+        """Full lattice, time-major: -> (U, B, T) log-likelihoods."""
         M = self.mel_dim
         a = self.enc_mel(enc).astype(jnp.float32)  # (B, T, M)
         b = self.dec_mel(dec).astype(jnp.float32)  # (B, U, M)
         c = mel_target.astype(jnp.float32) - b
         inv_var = jnp.exp(-2.0 * self.log_sigma)
         cross = jnp.einsum(
-            "btm,bum->btu", a, c, preferred_element_type=jnp.float32
+            "btm,bum->ubt", a, c, preferred_element_type=jnp.float32
         )
-        sq_c = jnp.sum(c * c, axis=-1)  # (B, U)
+        sq_c = jnp.transpose(jnp.sum(c * c, axis=-1))  # (U, B)
         sq_a = jnp.sum(a * a, axis=-1)  # (B, T)
-        sq_err = sq_c[:, None, :] - 2.0 * cross + sq_a[:, :, None]
+        sq_err = sq_c[:, :, None] - 2.0 * cross + sq_a[None, :, :]
         const = -0.5 * M * (
             jnp.log(2.0 * jnp.pi) + 2.0 * self.log_sigma
         )

@@ -5,7 +5,7 @@ decode share parameters):
 
   TextEncoder -> enc (B, T, H)
   ARDecoderCell (teacher-forced GRU scan over mel frames) -> dec (B, U, H)
-  TransitionJoint / FrameJoint -> (B, T, U) lattice quantities
+  TransitionJoint / FrameJoint -> (U, B, T) time-major lattice quantities
   ops.lattice.ssnt_loss -> per-example NLL  (training)
   DurationHead / ToneHead -> per-position class log-probs consumed by the
     v2 / tone-latent beam steps (decode-time conditioning, reference h inputs)
@@ -19,6 +19,7 @@ lattice joints, bf16 compute.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -42,15 +43,19 @@ from ssnt_tts_tpu.utils.config import ModelConfig
 
 
 def _lattice_loss_fn(impl: str):
+    """Loss impl in the framework-native time-major (U, B, T) layout (the
+    joints emit it directly; no full-lattice transposes anywhere)."""
     if impl == "pallas":
-        return lattice_pallas.ssnt_loss_pallas
-    if impl == "xla":
-        return lattice.ssnt_loss
+        fn = lattice_pallas.ssnt_loss_pallas
+    elif impl == "xla":
+        fn = lattice.ssnt_loss
     # auto: Pallas kernels on TPU, XLA scan elsewhere (Pallas on CPU would
     # need interpret mode).
-    if any(d.platform == "tpu" for d in jax.devices()):
-        return lattice_pallas.ssnt_loss_pallas
-    return lattice.ssnt_loss
+    elif any(d.platform == "tpu" for d in jax.devices()):
+        fn = lattice_pallas.ssnt_loss_pallas
+    else:
+        fn = lattice.ssnt_loss
+    return functools.partial(fn, layout="ubt")
 
 
 class SSNTModel(nn.Module):
@@ -111,6 +116,7 @@ class SSNTModel(nn.Module):
         return dec
 
     def lattice_quantities(self, enc, dec, mel_target):
+        """Time-major (U, B, T) lattice quantities (native kernel layout)."""
         log_emit, log_shift = self.transition(enc, dec)
         log_frame = self.frame(enc, dec, mel_target)
         return log_emit, log_shift, log_frame

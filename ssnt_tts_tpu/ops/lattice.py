@@ -161,8 +161,17 @@ def ssnt_loss_reference(log_emit, log_shift, log_frame=None,
 
 
 def _canonicalize(log_emit, log_shift, log_frame, input_length,
-                  output_length):
-    B, T, U = log_emit.shape
+                  output_length, layout: str = "btu"):
+    """Shared arg canonicalization. layout "btu": (B, T, U) inputs (the
+    reference op layout); "ubt": time-major (U, B, T) native-kernel layout
+    (no transposes anywhere in the loss path — the model's joints emit it
+    directly)."""
+    if layout == "btu":
+        B, T, U = log_emit.shape
+    elif layout == "ubt":
+        U, B, T = log_emit.shape
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
     if log_frame is None:
         log_frame = jnp.zeros_like(log_emit)
     if input_length is None:
@@ -179,17 +188,16 @@ def _canonicalize(log_emit, log_shift, log_frame, input_length,
 
 
 @jax.custom_vjp
-def _ssnt_loss_core(log_emit, log_shift, log_frame, input_length,
-                    output_length):
-    return _loss_impl(log_emit, log_shift, log_frame, input_length,
-                      output_length)
+def _ssnt_loss_core(le, ls, lf, input_length, output_length):
+    """Time-major core: (U, B, T) inputs -> (B,) loss; grads are (U, B, T).
+    Layout adaptation (and its cotangent transposes) live in the caller's
+    autodiff, so ubt callers pay zero transposes."""
+    alphas = _forward_alphas(le, ls, lf)
+    logz = _gather_logz(alphas, le, input_length, output_length)
+    return -logz
 
 
-def _ssnt_loss_fwd(log_emit, log_shift, log_frame, input_length,
-                   output_length):
-    le = jnp.transpose(log_emit, (2, 0, 1))
-    ls = jnp.transpose(log_shift, (2, 0, 1))
-    lf = jnp.transpose(log_frame, (2, 0, 1))
+def _ssnt_loss_fwd(le, ls, lf, input_length, output_length):
     alphas = _forward_alphas(le, ls, lf)
     logz = _gather_logz(alphas, le, input_length, output_length)
     res = (le, ls, lf, alphas, logz, input_length, output_length)
@@ -233,33 +241,40 @@ def _ssnt_loss_bwd(res, g):
     frame_post = post(alphas + betas)
 
     gB = g[None, :, None]  # upstream cotangent per example
-    d_le = jnp.transpose(-emit_post * gB, (1, 2, 0))
-    d_ls = jnp.transpose(-shift_post * gB, (1, 2, 0))
-    d_lf = jnp.transpose(-frame_post * gB, (1, 2, 0))
-    return d_le, d_ls, d_lf, None, None
+    return (-emit_post * gB, -shift_post * gB, -frame_post * gB, None, None)
 
 
 _ssnt_loss_core.defvjp(_ssnt_loss_fwd, _ssnt_loss_bwd)
 
 
 def ssnt_loss(log_emit, log_shift, log_frame=None, input_length=None,
-              output_length=None):
+              output_length=None, *, layout: str = "btu"):
     """SSNT emit/shift lattice negative log-likelihood.
 
     Args:
       log_emit, log_shift: (B, T, U) f32 transition log-probs at lattice
-        point (t, u) (T source positions, U output frames).
-      log_frame: optional (B, T, U) f32 log-likelihood of output frame u
-        conditioned on source position t (e.g. Gaussian mel log-density).
+        point (t, u) (T source positions, U output frames). With
+        layout="ubt", time-major (U, B, T) arrays instead — the framework's
+        native layout (what the kernels consume; saves the 6 full-lattice
+        HBM transpose passes per train step).
+      log_frame: optional f32 log-likelihood of output frame u conditioned
+        on source position t (e.g. Gaussian mel log-density), same layout.
         Defaults to zeros (pure alignment loss).
       input_length, output_length: optional (B,) i32 true lengths.
+      layout: "btu" (reference op layout) or "ubt" (time-major native).
 
     Returns:
       (B,) f32 per-example negative log-likelihood, with analytic
       forward-backward gradients (custom_vjp).
     """
     args = _canonicalize(log_emit, log_shift, log_frame, input_length,
-                         output_length)
+                         output_length, layout)
+    if layout == "btu":
+        args = (
+            jnp.transpose(args[0], (2, 0, 1)),
+            jnp.transpose(args[1], (2, 0, 1)),
+            jnp.transpose(args[2], (2, 0, 1)),
+        ) + args[3:]
     return _ssnt_loss_core(*args)
 
 

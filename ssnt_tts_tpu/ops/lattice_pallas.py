@@ -553,11 +553,7 @@ def _auto_chunk(B: int, T: int, requested: int, streams: int = 8) -> int:
 _FUSED_MAX_COLUMN_ELEMS = 8192
 
 
-def _loss_fwd_impl(log_emit, log_shift, log_frame, input_length,
-                   output_length, chunk):
-    le = jnp.transpose(log_emit, (2, 0, 1))
-    ls = jnp.transpose(log_shift, (2, 0, 1))
-    lf = jnp.transpose(log_frame, (2, 0, 1))
+def _loss_fwd_impl(le, ls, lf, input_length, output_length, chunk):
     U, B, T = le.shape
     chunk = _auto_chunk(B, T, chunk, streams=4)
     alphas = forward_alphas_pallas(
@@ -568,21 +564,19 @@ def _loss_fwd_impl(log_emit, log_shift, log_frame, input_length,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _core(log_emit, log_shift, log_frame, input_length, output_length,
-          chunk, variant):
+def _core(le, ls, lf, input_length, output_length, chunk, variant):
+    """Time-major core: (U, B, T) inputs, (U, B, T) grads. Layout
+    adaptation lives in the caller (its cotangent transposes come from the
+    caller-level jnp.transpose VJP), so ubt callers pay no transposes."""
     logz, _ = _loss_fwd_impl(
-        log_emit, log_shift, log_frame, input_length, output_length, chunk
+        le, ls, lf, input_length, output_length, chunk
     )
     return -logz
 
 
-def _core_fwd(log_emit, log_shift, log_frame, input_length, output_length,
-              chunk, variant):
+def _core_fwd(le, ls, lf, input_length, output_length, chunk, variant):
     # Under grad, run the fused bidirectional kernel: alphas and betas in one
     # latency-bound pass instead of two.
-    le = jnp.transpose(log_emit, (2, 0, 1))
-    ls = jnp.transpose(log_shift, (2, 0, 1))
-    lf = jnp.transpose(log_frame, (2, 0, 1))
     U, B, T = le.shape
     if B * _t_pad(T) <= _FUSED_MAX_COLUMN_ELEMS:
         c = _auto_chunk(B, T, chunk, streams=8)
@@ -620,7 +614,7 @@ def _core_bwd(chunk, variant, res, g):
             _pad_u(alphas, c), input_length, output_length, g, logz,
             chunk=c,
         )
-        d_le, d_ls, d_lf = (jnp.transpose(x[:U], (1, 2, 0)) for x in d)
+        d_le, d_ls, d_lf = (x[:U] for x in d)
         return d_le, d_ls, d_lf, None, None
 
     # Posterior math identical to ops.lattice._ssnt_loss_bwd; XLA fuses these
@@ -653,9 +647,9 @@ def _core_bwd(chunk, variant, res, g):
         return jnp.where(valid & ~degenerate, jnp.exp(s), 0.0)
 
     gB = g[None, :, None]
-    d_le = jnp.transpose(-post(alphas + le + cont_emit) * gB, (1, 2, 0))
-    d_ls = jnp.transpose(-post(alphas + ls + cont_shift) * gB, (1, 2, 0))
-    d_lf = jnp.transpose(-post(alphas + betas) * gB, (1, 2, 0))
+    d_le = -post(alphas + le + cont_emit) * gB
+    d_ls = -post(alphas + ls + cont_shift) * gB
+    d_lf = -post(alphas + betas) * gB
     return d_le, d_ls, d_lf, None, None
 
 
@@ -664,7 +658,7 @@ _core.defvjp(_core_fwd, _core_bwd)
 
 def ssnt_loss_pallas(log_emit, log_shift, log_frame=None, input_length=None,
                      output_length=None, *, chunk: int = 16,
-                     variant: str = "log"):
+                     variant: str = "log", layout: str = "btu"):
     """Drop-in Pallas-accelerated ssnt_loss (same semantics/gradients as
     ops.lattice.ssnt_loss).
 
@@ -674,7 +668,18 @@ def ssnt_loss_pallas(log_emit, log_shift, log_frame=None, input_length=None,
     0 instead of staying at huge-negative logs; both are below f32
     logaddexp's ~17-nat contribution horizon, so losses and gradients agree
     to f32 accuracy).
+
+    layout="btu": (B, T, U) reference-op layout (transposed to the kernels'
+    time-major layout, 6 extra full-lattice HBM passes per fwd+bwd).
+    layout="ubt": time-major (U, B, T) inputs consumed (and grads returned)
+    directly — the framework-native layout the model's joints emit.
     """
     args = _canonicalize(log_emit, log_shift, log_frame, input_length,
-                         output_length)
+                         output_length, layout)
+    if layout == "btu":
+        args = (
+            jnp.transpose(args[0], (2, 0, 1)),
+            jnp.transpose(args[1], (2, 0, 1)),
+            jnp.transpose(args[2], (2, 0, 1)),
+        ) + args[3:]
     return _core(*args, chunk, variant)

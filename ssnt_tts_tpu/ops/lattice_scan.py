@@ -246,16 +246,13 @@ def _shift_up(x, fill=NEG):
 # ---------------------------------------------------------------- full loss
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _core(log_emit, log_shift, log_frame, input_length, output_length, K):
-    loss, _ = _fwd(log_emit, log_shift, log_frame, input_length,
-                   output_length, K)
+def _core(le, ls, lf, input_length, output_length, K):
+    """Time-major core: (U, B, T) inputs, (U, B, T) grads."""
+    loss, _ = _fwd(le, ls, lf, input_length, output_length, K)
     return loss
 
 
-def _fwd(log_emit, log_shift, log_frame, input_length, output_length, K):
-    le = jnp.transpose(log_emit, (2, 0, 1))
-    ls = jnp.transpose(log_shift, (2, 0, 1))
-    lf = jnp.transpose(log_frame, (2, 0, 1))
+def _fwd(le, ls, lf, input_length, output_length, K):
     leu, lsu, lfu = _uniformize(le, ls, lf, output_length)
     alphas = forward_alphas_scan(leu, lsu, lfu, K=K)
     logz = _gather_logz(alphas, le, input_length, output_length)
@@ -263,10 +260,8 @@ def _fwd(log_emit, log_shift, log_frame, input_length, output_length, K):
                    output_length)
 
 
-def _core_fwd(log_emit, log_shift, log_frame, input_length, output_length,
-              K):
-    loss, res = _fwd(log_emit, log_shift, log_frame, input_length,
-                     output_length, K)
+def _core_fwd(le, ls, lf, input_length, output_length, K):
+    loss, res = _fwd(le, ls, lf, input_length, output_length, K)
     return loss, res
 
 
@@ -304,9 +299,9 @@ def _core_bwd(K, res, g):
         return jnp.where(valid & ~degenerate, jnp.exp(s), 0.0)
 
     gB = g[None, :, None]
-    d_le = jnp.transpose(-post(alphas + le + cont_emit) * gB, (1, 2, 0))
-    d_ls = jnp.transpose(-post(alphas + ls + cont_shift) * gB, (1, 2, 0))
-    d_lf = jnp.transpose(-post(alphas + betas) * gB, (1, 2, 0))
+    d_le = -post(alphas + le + cont_emit) * gB
+    d_ls = -post(alphas + ls + cont_shift) * gB
+    d_lf = -post(alphas + betas) * gB
     return d_le, d_ls, d_lf, None, None
 
 
@@ -314,9 +309,15 @@ _core.defvjp(_core_fwd, _core_bwd)
 
 
 def ssnt_loss_scan(log_emit, log_shift, log_frame=None, input_length=None,
-                   output_length=None, *, K: int = 16):
+                   output_length=None, *, K: int = 16, layout: str = "btu"):
     """Blocked-parallel-scan SSNT loss (same semantics/gradients as
     ops.lattice.ssnt_loss; values agree to f32 reassociation accuracy)."""
     args = _canonicalize(log_emit, log_shift, log_frame, input_length,
-                         output_length)
+                         output_length, layout)
+    if layout == "btu":
+        args = (
+            jnp.transpose(args[0], (2, 0, 1)),
+            jnp.transpose(args[1], (2, 0, 1)),
+            jnp.transpose(args[2], (2, 0, 1)),
+        ) + args[3:]
     return _core(*args, K)

@@ -178,3 +178,40 @@ def test_fused_with_ragged_lengths():
             np.asarray(b_fused)[:Ub, b, :Tb], b_xla[:Ub, b, :Tb],
             rtol=1e-5, atol=1e-5,
         )
+
+
+def test_ubt_layout_matches_btu():
+    """Time-major layout (the framework-native path the model uses) must be
+    loss- and grad-identical to the reference (B, T, U) layout, for both the
+    Pallas and the XLA implementations."""
+    rng = np.random.default_rng(7)
+    B, T, U = 3, 7, 29
+    le, ls, lf = rand_inputs(rng, B, T, U)
+    T_b = np.array([7, 5, 6], np.int32)
+    U_b = np.array([29, 17, 23], np.int32)
+    leu, lsu, lfu = (np.transpose(x, (2, 0, 1)) for x in (le, ls, lf))
+
+    for impl, kw in (
+        (lattice_pallas.ssnt_loss_pallas, dict(chunk=8)),
+        (lattice.ssnt_loss, {}),
+    ):
+        loss_btu, grads_btu = jax.value_and_grad(
+            lambda a, b, c: jnp.sum(impl(a, b, c, T_b, U_b, **kw)),
+            argnums=(0, 1, 2),
+        )(le, ls, lf)
+        loss_ubt, grads_ubt = jax.value_and_grad(
+            lambda a, b, c: jnp.sum(
+                impl(a, b, c, T_b, U_b, layout="ubt", **kw)
+            ),
+            argnums=(0, 1, 2),
+        )(leu, lsu, lfu)
+        np.testing.assert_allclose(
+            np.asarray(loss_ubt), np.asarray(loss_btu), rtol=1e-6
+        )
+        for g_b, g_u in zip(grads_btu, grads_ubt):
+            np.testing.assert_allclose(
+                np.transpose(np.asarray(g_u), (1, 2, 0)),
+                np.asarray(g_b),
+                rtol=1e-5,
+                atol=1e-6,
+            )
