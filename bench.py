@@ -72,9 +72,12 @@ def main():
     cells = B * T * U
 
     def grad_of(loss_fn):
+        # All three cotangents, as a train step needs (grad wrt one input
+        # would let XLA DCE part of the posterior pass and flatter the
+        # non-fused paths).
         return lambda a, b, c: jax.grad(
-            lambda x: jnp.sum(loss_fn(x, b, c))
-        )(a)
+            lambda x, y, z: jnp.sum(loss_fn(x, y, z)), argnums=(0, 1, 2)
+        )(a, b, c)
 
     xla_loss = lambda a, b, c: lattice.ssnt_loss(
         a, b, c, T_b, U_b, layout="ubt"

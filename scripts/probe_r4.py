@@ -30,7 +30,11 @@ cells = B * T * U
 
 
 def grad_of(loss_fn):
-    return lambda a, b, c: jax.grad(lambda x: jnp.sum(loss_fn(x, b, c)))(a)
+    # All three cotangents (matches the train step; prevents DCE of parts
+    # of the posterior pass in the non-fused paths).
+    return lambda a, b, c: jax.grad(
+        lambda x, y, z: jnp.sum(loss_fn(x, y, z)), argnums=(0, 1, 2)
+    )(a, b, c)
 
 
 def run(name, **kw):

@@ -60,6 +60,34 @@ def _shift_up_t(x):
     return jnp.where(t_ids == T - 1, NEG, rolled)
 
 
+def _lse(*terms):
+    """logsumexp over a static list of (B, T) values (generic n-term)."""
+    m = terms[0]
+    for t in terms[1:]:
+        m = jnp.maximum(m, t)
+    acc = jnp.exp(terms[0] - m)
+    for t in terms[1:]:
+        acc = acc + jnp.exp(t - m)
+    return m + jnp.log(acc)
+
+
+def _shift_down_k(x, k):
+    if k == 0:
+        return x
+    rolled = pltpu.roll(x, shift=k, axis=1)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(t_ids < k, NEG, rolled)
+
+
+def _shift_up_k(x, k):
+    if k == 0:
+        return x
+    T = x.shape[1]
+    rolled = pltpu.roll(x, shift=T - k, axis=1)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(t_ids >= T - k, NEG, rolled)
+
+
 # ------------------------------------------------------------------ forward
 
 def _fwd_kernel(le_ref, ls_ref, lf_ref, alpha_out_ref,
@@ -102,6 +130,92 @@ def forward_alphas_pallas(le, ls, lf, *, chunk: int = 16):
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, chunk=chunk),
+        grid=grid,
+        in_specs=[block, block, block],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct((U, B, T), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((B, T), jnp.float32),
+            pltpu.VMEM((B, T), jnp.float32),
+            pltpu.VMEM((B, T), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(le, ls, lf)
+
+
+# -------------------------------------------------- banded forward (K = 2)
+#
+# The column recursion is linear over the (logaddexp, +) semiring with a
+# 2-banded operator (see ops/lattice_scan.py for the full derivation):
+#     alpha_u = M_u alpha_{u-1},  M_u = [diag: lf_u + le_{u-1},
+#                                        sub:  lf_u + ls_{u-1}(t-1)]
+# Composing column pairs into 3-banded operators OFF the dependency chain
+# halves the sequential depth: the critical chain becomes U/2 three-term
+# band-applies, while the band build and the odd-column interior replay are
+# bulk VPU work the scheduler overlaps with it. This converts the
+# latency-bound small-batch regime into a throughput-bound one at ~2x the
+# elementwise work — a large net win when a (B, T) column is only a few
+# VREGs. The u=0 init is made uniform by a virtual carry: alpha_{-1} =
+# onehot(t == 0) with virtual le_prev = 0, ls_prev = NEG, so alpha_0 =
+# M_0 alpha_{-1} = where(t == 0, lf_0, NEG) exactly.
+
+
+def _fwd_kernel_banded(le_ref, ls_ref, lf_ref, alpha_out_ref,
+                       alpha_s, le_s, ls_s, *, chunk):
+    B, T = alpha_s.shape
+    block_id = pl.program_id(0)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+
+    @pl.when(block_id == 0)
+    def _():
+        alpha_s[:] = jnp.where(t_ids == 0, 0.0, NEG)
+        le_s[:] = jnp.zeros((B, T))
+        ls_s[:] = jnp.full((B, T), NEG)
+
+    # Per-column 2-band operators (bulk, chain-free).
+    le_prev = le_s[:]
+    ls_prev = ls_s[:]
+    diag, sub = [], []
+    for j in range(chunk):
+        lf = lf_ref[j]
+        diag.append(lf + le_prev)
+        sub.append(lf + _shift_down_k(ls_prev, 1))
+        le_prev = le_ref[j]
+        ls_prev = ls_ref[j]
+
+    alpha = alpha_s[:]
+    for s in range(chunk // 2):
+        lo, hi = 2 * s, 2 * s + 1
+        # Interior (odd-index recovery) — off the chain.
+        alpha_lo = _lse(diag[lo] + alpha,
+                        sub[lo] + _shift_down_k(alpha, 1))
+        alpha_out_ref[lo] = alpha_lo
+        # Pair composition M_hi o M_lo — off the chain.
+        P0 = diag[hi] + diag[lo]
+        P1 = _lse(diag[hi] + sub[lo],
+                  sub[hi] + _shift_down_k(diag[lo], 1))
+        P2 = sub[hi] + _shift_down_k(sub[lo], 1)
+        # Banded apply — the only chain-dependent step (depth U/2 overall).
+        alpha = _lse(P0 + alpha,
+                     P1 + _shift_down_k(alpha, 1),
+                     P2 + _shift_down_k(alpha, 2))
+        alpha_out_ref[hi] = alpha
+    alpha_s[:] = alpha
+    le_s[:] = le_prev
+    ls_s[:] = ls_prev
+
+
+def forward_alphas_pallas_banded(le, ls, lf, *, chunk: int = 16):
+    """(U, B, T) -> (U, B, T) alphas; banded-pair chain (small-batch fast
+    path). U must be a multiple of chunk; chunk must be even."""
+    U, B, T = le.shape
+    assert U % chunk == 0 and chunk % 2 == 0, (U, chunk)
+    grid = (U // chunk,)
+    block = pl.BlockSpec(
+        (chunk, B, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_banded, chunk=chunk),
         grid=grid,
         in_specs=[block, block, block],
         out_specs=block,
@@ -421,6 +535,133 @@ def backward_grads_pallas(le, ls, lf, alphas, input_length, output_length,
     )
 
 
+# ----------------------------------- banded backward + gradients (K = 2)
+#
+# Same chain-halving as the banded forward, for the beta recursion (a
+# superdiagonal 2-band operator) with the posteriors computed in the same
+# walk. Per-example re-initialization at u == U_b - 1 breaks linearity, so
+# inputs are uniformized on load (ops/lattice_scan.py's derivation): for
+# u >= U_b the columns become absorbing (le = 0, lf = 0; ls killed from
+# u >= U_b - 1), making beta propagate as the identity through the padding;
+# one virtual global init beta_{Upad} = onehot(t == T_b - 1) then yields
+# exactly beta_{U_b-1} = where(t == T_b-1, le, NEG) for every example.
+
+
+def _bwdgrad_kernel_banded(in_len_ref, out_len_ref, gz_ref,
+                           le_ref, ls_ref, lf_ref, alpha_ref,
+                           d_le_ref, d_ls_ref, d_lf_ref,
+                           beta_s, lf_s, *, chunk):
+    B, T = beta_s.shape
+    nblocks = pl.num_programs(0)
+    block_id = pl.program_id(0)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+    in_len = in_len_ref[:]
+    is_last_t = t_ids == in_len - 1
+    t_valid = t_ids < in_len
+    out_len = out_len_ref[:]  # (B, 1)
+    g = gz_ref[:, 0:1]
+    logz = gz_ref[:, 1:2]
+    degenerate = logz <= NEG / 2
+    neg_g = jnp.where(degenerate, 0.0, -g)
+
+    @pl.when(block_id == 0)
+    def _():
+        beta_s[:] = jnp.where(is_last_t, 0.0, NEG)
+        lf_s[:] = jnp.zeros((B, T))
+
+    base_u = (nblocks - 1 - block_id) * chunk
+
+    # Uniformized columns + per-column superdiag ops (bulk, chain-free).
+    lf_next = lf_s[:]  # uniformized lf at column base_u + chunk
+    leu, lsu, lf_cols = [], [], []
+    for j in range(chunk):
+        u = base_u + j
+        leu.append(jnp.where(u < out_len, le_ref[j], 0.0))
+        lsu.append(jnp.where(u < out_len - 1, ls_ref[j], NEG))
+        lf_cols.append(jnp.where(u < out_len, lf_ref[j], 0.0))
+    # lf at column j+1 (the continuation frame of column j).
+    lf_above = lf_cols[1:] + [lf_next]
+    diag = [leu[j] + lf_above[j] for j in range(chunk)]
+    sup = [lsu[j] + _shift_up_k(lf_above[j], 1) for j in range(chunk)]
+
+    def post(score):
+        return jnp.where(
+            t_valid, jnp.exp(jnp.minimum(score, 30.0)), 0.0
+        )
+
+    def grads_at(j, beta_next, beta_j):
+        u = base_u + j
+        is_last_u = u == out_len - 1
+        # alpha -> NEG where u >= out_len kills invalid-u posteriors.
+        alpha = jnp.where(u < out_len, alpha_ref[j] - logz, NEG)
+        cont = lf_above[j] + beta_next
+        cont_emit = jnp.where(
+            is_last_u, jnp.where(is_last_t, 0.0, NEG), cont
+        )
+        cont_shift = jnp.where(is_last_u, NEG, _shift_up_k(cont, 1))
+        d_le_ref[j] = neg_g * post(alpha + leu[j] + cont_emit)
+        d_ls_ref[j] = neg_g * post(alpha + ls_ref[j] + cont_shift)
+        d_lf_ref[j] = neg_g * post(alpha + beta_j)
+
+    beta = beta_s[:]
+    for s in range(chunk // 2 - 1, -1, -1):
+        lo, hi = 2 * s, 2 * s + 1
+        # Interior (hi column) — off the chain.
+        beta_hi = _lse(diag[hi] + beta, sup[hi] + _shift_up_k(beta, 1))
+        grads_at(hi, beta, beta_hi)
+        # Pair composition M_lo o M_hi — off the chain.
+        P0 = diag[lo] + diag[hi]
+        P1 = _lse(diag[lo] + sup[hi], sup[lo] + _shift_up_k(diag[hi], 1))
+        P2 = sup[lo] + _shift_up_k(sup[hi], 1)
+        # Banded apply — the chain (depth U/2 overall).
+        beta_new = _lse(P0 + beta,
+                        P1 + _shift_up_k(beta, 1),
+                        P2 + _shift_up_k(beta, 2))
+        grads_at(lo, beta_hi, beta_new)
+        beta = beta_new
+    beta_s[:] = beta
+    lf_s[:] = lf_cols[0]
+
+
+def backward_grads_pallas_banded(le, ls, lf, alphas, input_length,
+                                 output_length, g, logz, *,
+                                 chunk: int = 16):
+    """(U, B, T) inputs + alphas -> (d_le, d_ls, d_lf); banded-pair chain
+    (small-batch fast path). Betas never touch HBM."""
+    U, B, T = le.shape
+    assert U % chunk == 0 and chunk % 2 == 0, (U, chunk)
+    nblocks = U // chunk
+    rev = pl.BlockSpec(
+        (chunk, B, T), lambda i: (nblocks - 1 - i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    len_spec = pl.BlockSpec(
+        (B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    gz_spec = pl.BlockSpec(
+        (B, 2), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    gz = jnp.stack([g.astype(jnp.float32), logz.astype(jnp.float32)],
+                   axis=1)
+    shape = jax.ShapeDtypeStruct((U, B, T), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_bwdgrad_kernel_banded, chunk=chunk),
+        grid=(nblocks,),
+        in_specs=[len_spec, len_spec, gz_spec, rev, rev, rev, rev],
+        out_specs=(rev, rev, rev),
+        out_shape=(shape, shape, shape),
+        scratch_shapes=[
+            pltpu.VMEM((B, T), jnp.float32),
+            pltpu.VMEM((B, T), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(
+        input_length.reshape(B, 1).astype(jnp.int32),
+        output_length.reshape(B, 1).astype(jnp.int32),
+        gz, le, ls, lf, alphas,
+    )
+
+
 # ------------------------------------------------ fused bidirectional pass
 
 def _bidir_kernel(in_len_ref, out_len_ref,
@@ -548,17 +789,33 @@ def _auto_chunk(B: int, T: int, requested: int, streams: int = 8) -> int:
 
 
 # Below this many (B x padded-T) elements per column the kernels are
-# dependency-chain latency-bound and the fused bidirectional pass wins; above
-# it, separate fwd/bwd passes with larger chunks are faster.
+# dependency-chain latency-bound: the banded-pair two-pass path (minimal
+# 44 B/cell HBM traffic, U/2 chain depth) wins there. Above it the chains
+# are throughput-fed anyway and the plain two-pass path is optimal.
 _FUSED_MAX_COLUMN_ELEMS = 8192
+
+
+def _small_column(B: int, T: int) -> bool:
+    return B * _t_pad(T) <= _FUSED_MAX_COLUMN_ELEMS
+
+
+def _forward_dispatch(le, ls, lf, chunk, banded):
+    U, B, T = le.shape
+    if banded:
+        c = _auto_chunk(B, T, chunk, streams=4)
+        c = max(c, 2)
+        return forward_alphas_pallas_banded(
+            _pad_u(le, c), _pad_u(ls, c), _pad_u(lf, c), chunk=c
+        )[:U]
+    c = _auto_chunk(B, T, chunk, streams=4)
+    return forward_alphas_pallas(
+        _pad_u(le, c), _pad_u(ls, c), _pad_u(lf, c), chunk=c
+    )[:U]
 
 
 def _loss_fwd_impl(le, ls, lf, input_length, output_length, chunk):
     U, B, T = le.shape
-    chunk = _auto_chunk(B, T, chunk, streams=4)
-    alphas = forward_alphas_pallas(
-        _pad_u(le, chunk), _pad_u(ls, chunk), _pad_u(lf, chunk), chunk=chunk
-    )[:U]
+    alphas = _forward_dispatch(le, ls, lf, chunk, banded=_small_column(B, T))
     logz = _gather_logz(alphas, le, input_length, output_length)
     return logz, (le, ls, lf, alphas)
 
@@ -574,15 +831,29 @@ def _core(le, ls, lf, input_length, output_length, chunk, variant):
     return -logz
 
 
+def _grad_mode(variant: str, B: int, T: int) -> str:
+    """Deterministic grad-path choice, recomputed identically in fwd and
+    bwd (variant is a nondiff arg; shapes are static).
+
+    auto/log: banded two-pass when latency-bound (small columns), plain
+    two-pass otherwise — both at the minimal 44 B/cell HBM traffic.
+    fused/exp: fused bidirectional kernel + XLA posterior pass (64 B/cell,
+    kept for conformance testing and as probes)."""
+    if variant in ("fused", "exp"):
+        return variant
+    if variant in ("banded", "plain"):
+        return variant
+    return "banded" if _small_column(B, T) else "plain"
+
+
 def _core_fwd(le, ls, lf, input_length, output_length, chunk, variant):
-    # Under grad, run the fused bidirectional kernel: alphas and betas in one
-    # latency-bound pass instead of two.
     U, B, T = le.shape
-    if B * _t_pad(T) <= _FUSED_MAX_COLUMN_ELEMS:
+    mode = _grad_mode(variant, B, T)
+    if mode in ("fused", "exp"):
         c = _auto_chunk(B, T, chunk, streams=8)
         fused = (
             fused_alphas_betas_pallas_exp
-            if variant == "exp"
+            if mode == "exp"
             else fused_alphas_betas_pallas
         )
         alphas, betas = fused(
@@ -591,11 +862,9 @@ def _core_fwd(le, ls, lf, input_length, output_length, chunk, variant):
         )
         alphas, betas = alphas[:U], betas[:U]
     else:
-        c = _auto_chunk(B, T, chunk, streams=4)
-        alphas = forward_alphas_pallas(
-            _pad_u(le, c), _pad_u(ls, c), _pad_u(lf, c), chunk=c
-        )[:U]
-        betas = None  # computed in the bwd pass with its own larger chunk
+        alphas = _forward_dispatch(le, ls, lf, chunk,
+                                   banded=mode == "banded")
+        betas = None  # computed in the bwd pass (fused with the grads)
     logz = _gather_logz(alphas, le, input_length, output_length)
     return -logz, (
         le, ls, lf, alphas, betas, logz, input_length, output_length
@@ -606,10 +875,16 @@ def _core_bwd(chunk, variant, res, g):
     le, ls, lf, alphas, betas, logz, input_length, output_length = res
     U, B, T = le.shape
     if betas is None:
-        # Large-B regime: one reverse pass computing the gradients directly
+        # Two-pass regime: one reverse pass computing the gradients directly
         # (betas never touch HBM, no separate posterior pass).
-        c = _auto_chunk(B, T, chunk, streams=7)
-        d = backward_grads_pallas(
+        mode = _grad_mode(variant, B, T)
+        if mode == "banded":
+            c = max(_auto_chunk(B, T, chunk, streams=7), 2)
+            bwd = backward_grads_pallas_banded
+        else:
+            c = _auto_chunk(B, T, chunk, streams=7)
+            bwd = backward_grads_pallas
+        d = bwd(
             _pad_u(le, c), _pad_u(ls, c), _pad_u(lf, c),
             _pad_u(alphas, c), input_length, output_length, g, logz,
             chunk=c,
@@ -662,8 +937,15 @@ def ssnt_loss_pallas(log_emit, log_shift, log_frame=None, input_length=None,
     """Drop-in Pallas-accelerated ssnt_loss (same semantics/gradients as
     ops.lattice.ssnt_loss).
 
-    variant="log": log-domain logaddexp chain (bit-matches the XLA scan).
-    variant="exp": exp-domain short-chain kernels under grad — ~equal values
+    variant="log" (default): auto-dispatch between the two-pass paths —
+    banded-pair kernels (U/2 chain depth) for latency-bound small columns,
+    plain column-walk kernels for throughput-bound large ones; both at the
+    minimal 44 B/cell HBM traffic (fwd reads 12B writes alpha 4B; the
+    reverse pass reads 16B and writes the 3 grads 12B, betas never in HBM).
+    variant="banded"/"plain": force one of those two paths.
+    variant="fused": fused bidirectional log-domain kernel + XLA posterior
+    pass (64 B/cell; kept for conformance cross-checks).
+    variant="exp": exp-domain short-chain fused kernels — ~equal values
     to f32 logaddexp (cells >87 nats below the running max flush to exactly
     0 instead of staying at huge-negative logs; both are below f32
     logaddexp's ~17-nat contribution horizon, so losses and gradients agree
