@@ -48,10 +48,11 @@ def run(name, **kw):
 
 which = sys.argv[1:] or ["fused_log", "fused_exp", "two_pass"]
 if "fused_log" in which:
-    run("fused_log", variant="log")
+    run("fused_log", variant="fused")
 if "fused_exp" in which:
     run("fused_exp", variant="exp")
 if "two_pass" in which:
+    _saved = lattice_pallas._FUSED_MAX_COLUMN_ELEMS
     lattice_pallas._FUSED_MAX_COLUMN_ELEMS = 0
     run("two_pass", variant="log")
-    lattice_pallas._FUSED_MAX_COLUMN_ELEMS = 8192
+    lattice_pallas._FUSED_MAX_COLUMN_ELEMS = _saved

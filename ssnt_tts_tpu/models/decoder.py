@@ -1,8 +1,9 @@
 """Mel decoder + lattice joint network (TPU-first factorized design).
 
 The SSNT loss needs, for every lattice point (t, u):
-  - transition log-probs log_emit/log_shift (B, T, U)
-  - frame log-likelihood log p(y_u | t)     (B, T, U)
+  - transition log-probs log_emit/log_shift, time-major (U, B, T)
+  - frame log-likelihood log p(y_u | t),     time-major (U, B, T)
+(the layout the lattice kernels consume; the joints emit it directly).
 
 A naive additive-tanh joint materializes a (B, T, U, H) tensor — HBM-hostile.
 This module instead uses factorizations whose lattice-sized intermediates are

@@ -813,9 +813,26 @@ def _forward_dispatch(le, ls, lf, chunk, banded):
     )[:U]
 
 
-def _loss_fwd_impl(le, ls, lf, input_length, output_length, chunk):
+def _loss_fwd_impl(le, ls, lf, input_length, output_length, chunk, variant):
+    """No-grad primal. Uses the same kernel family as the grad path for the
+    given variant (forced variants apply here too, so primal-only values
+    bit-match the values seen under grad — f32 reassociation differs between
+    the banded/plain/exp walks)."""
     U, B, T = le.shape
-    alphas = _forward_dispatch(le, ls, lf, chunk, banded=_small_column(B, T))
+    mode = _grad_mode(variant, B, T)
+    if mode == "exp":
+        c = _auto_chunk(B, T, chunk, streams=8)
+        alphas, _ = fused_alphas_betas_pallas_exp(
+            _pad_u(le, c), _pad_u(ls, c), _pad_u(lf, c),
+            input_length, output_length, chunk=c,
+        )
+        alphas = alphas[:U]
+    else:
+        # "fused" alphas come from the identical log-domain column walk as
+        # "plain" (same op order), so the plain forward kernel is value-exact
+        # for it and skips the wasted beta half.
+        alphas = _forward_dispatch(le, ls, lf, chunk,
+                                   banded=mode == "banded")
     logz = _gather_logz(alphas, le, input_length, output_length)
     return logz, (le, ls, lf, alphas)
 
@@ -826,7 +843,7 @@ def _core(le, ls, lf, input_length, output_length, chunk, variant):
     adaptation lives in the caller (its cotangent transposes come from the
     caller-level jnp.transpose VJP), so ubt callers pay no transposes."""
     logz, _ = _loss_fwd_impl(
-        le, ls, lf, input_length, output_length, chunk
+        le, ls, lf, input_length, output_length, chunk, variant
     )
     return -logz
 
@@ -950,6 +967,9 @@ def ssnt_loss_pallas(log_emit, log_shift, log_frame=None, input_length=None,
     0 instead of staying at huge-negative logs; both are below f32
     logaddexp's ~17-nat contribution horizon, so losses and gradients agree
     to f32 accuracy).
+    variant="scan": pure-XLA blocked parallel scan (ops/lattice_scan.py,
+    depth U/K + K) — the non-Pallas latency-breaking alternative, kept
+    dispatchable so bench/probes can compare it on hardware.
 
     layout="btu": (B, T, U) reference-op layout (transposed to the kernels'
     time-major layout, 6 extra full-lattice HBM passes per fwd+bwd).
@@ -964,4 +984,8 @@ def ssnt_loss_pallas(log_emit, log_shift, log_frame=None, input_length=None,
             jnp.transpose(args[1], (2, 0, 1)),
             jnp.transpose(args[2], (2, 0, 1)),
         ) + args[3:]
+    if variant == "scan":
+        from ssnt_tts_tpu.ops import lattice_scan
+
+        return lattice_scan.ssnt_loss_scan(*args[:5], layout="ubt")
     return _core(*args, chunk, variant)

@@ -25,8 +25,9 @@ padding. The forward needs no change (its init is global at u=0).
 
 This module is pure XLA (the parallel phases are big fused elementwise maps;
 the two short sequential phases are lax.scans). See lattice_pallas for the
-sequential-kernel alternative; ssnt_loss_pallas(variant=...) and bench.py
-choose between them.
+Pallas-kernel alternatives; `ssnt_loss_pallas(variant="scan")` dispatches
+here so probes/bench can compare both on hardware (the Pallas banded paths
+won on-chip and remain the auto-dispatch default).
 """
 
 from __future__ import annotations

@@ -25,14 +25,12 @@ class BeamConfig:
 
 @dataclasses.dataclass(frozen=True)
 class V2BeamConfig:
-    """v2 duration-class beam search (src/v2.rs), incl. the reference's
-    hard-coded constants promoted to fields."""
+    """v2 duration-class beam search: the reference's hard-coded constants
+    (src/v2.rs:96-116) promoted to fields. Every field here is read by the
+    kernel (ops/beam_v2.py); the op-attr-style knobs (beam_width,
+    zero_duration_id, allow_skip, test_mode) are explicit kernel arguments
+    instead, so a config object can never silently diverge from behavior."""
 
-    beam_width: int = 8
-    duration_class_size: int = 10
-    zero_duration_id: int = 0
-    allow_skip: bool = False
-    test_mode: bool = False
     # src/v2.rs:98 (+10% of total frames)
     band_upper_frac: float = 0.1
     # src/v2.rs:100 (-5% of total frames)
