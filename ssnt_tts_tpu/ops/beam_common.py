@@ -9,17 +9,31 @@ The reference (Rust) implements each beam step as:
       -> pad by repeating survivors from the front           (src/lib.rs:163-167)
       -> truncate to max_beam_width                          (src/lib.rs:168)
 
-This module reproduces those semantics with fixed shapes on TPU:
-candidates live in a dense (W*D,) layout (one slot per beam x class, with a
-validity mask standing in for Rust's Option/filter_map), selection uses a
-stable lexsort keyed on (validity, -log_prob) so that equal-log-prob
-candidates keep the reference's generation order, dedup is a vectorized
-adjacent-equality mask (exact because field equality is transitive for
-non-NaN floats), and the pad-by-repetition is a modular gather.
+This module reproduces those semantics with fixed shapes on TPU: candidates
+live in a dense (W*D,) layout (one slot per beam x class, with a validity
+mask standing in for Rust's Option/filter_map).
+
+Selection strategy (latency-shaped for the decode scan, VERDICT r2 #2):
+duplicates are identified BEFORE sorting via (C, C) pairwise matrices —
+bulk, fully parallel VPU work (C = W*D is at most a few hundred). Rust's
+dedup_by removes a candidate iff it equals its immediate predecessor in the
+stable sorted order (equality is transitive for non-NaN floats, so "equals
+the last-retained element" collapses to adjacent equality — but ONLY
+adjacent: an unequal interloper with the same log_prob between two equal
+candidates preserves the later one). That predicate is computed directly:
+each valid candidate's sorted rank is a pairwise count (strictly-greater
+log_prob, ties by generation index), and candidate i is a duplicate iff
+some equal candidate sits at rank(i) - 1. After masking duplicates, ONE
+`lax.top_k` over a single f32 key yields the beam: XLA's top_k breaks ties
+by lower index, which IS the reference's stable-sort tie order (generation
+order). Survivors then occupy ranks 0..n-1 contiguously, so the reference's
+pad-by-repetition (results[i % n]) becomes pure index arithmetic into the
+top_k ranks — no cumsum, no scatter, no multi-key sort anywhere.
 
 v2's diagonal re-injection (src/v2.rs:282-308) is supported via `diag_mask`:
-the first surviving candidate flagged on-diagonal replaces the final beam
-slot, exactly like the reference's truncate(max_w-1) + push.
+the first surviving candidate flagged on-diagonal (= max log_prob, earliest
+generation order among survivors — one argmax) replaces the final beam slot,
+exactly like the reference's truncate(max_w-1) + push.
 """
 
 from __future__ import annotations
@@ -60,57 +74,55 @@ def select_beams(
       empty beam, src/v2.rs:292).
     """
     C = valid.shape[0]
-    idx = jnp.arange(C, dtype=jnp.int32)
+    gen = jnp.arange(C, dtype=jnp.int32)
 
-    # Stable sort: invalid candidates strictly after all valid ones (even
-    # -inf-scored ones), ties broken by candidate generation order.
-    neg_lp = jnp.where(valid, -log_prob, jnp.inf)
-    order = jnp.lexsort((neg_lp, (~valid).astype(jnp.int32)))
-
-    sorted_fields = {k: v[order] for k, v in fields.items()}
-    sorted_lp = log_prob[order]
-    sorted_valid = valid[order]
-
-    # Adjacent dedup (eq_ignore_parent). Equality on the eq fields is
-    # transitive for non-NaN values, so "equal to immediate predecessor"
-    # coincides with Rust's dedup_by against the last-retained element.
-    eq_prev = sorted_valid & jnp.roll(sorted_valid, 1)
-    eq_prev = eq_prev & (sorted_lp == jnp.roll(sorted_lp, 1))
+    # Pairwise dedup (eq_ignore_parent, adjacency-exact). eq[i, j]: both
+    # valid and equal on every eq field.
+    eq = valid[:, None] & valid[None, :]
+    eq &= log_prob[:, None] == log_prob[None, :]
     for k in eq_keys:
         if k == "log_prob":
             continue
-        a = sorted_fields[k]
-        eq_prev = eq_prev & (a == jnp.roll(a, 1))
-    eq_prev = eq_prev.at[0].set(False)
-    keep = sorted_valid & ~eq_prev
-
-    n = jnp.sum(keep).astype(jnp.int32)
-    rank = jnp.cumsum(keep).astype(jnp.int32) - 1
-    # survivor_pos[r] = sorted-order position of the r-th survivor.
-    survivor_pos = (
-        jnp.zeros((C,), jnp.int32)
-        .at[jnp.where(keep, rank, C)]
-        .set(idx, mode="drop")
+        a = fields[k]
+        eq &= a[:, None] == a[None, :]
+    # Sorted rank among VALID candidates (invalid ones sort after all valid
+    # ones and never dedup): before[i, j] = j precedes i in the stable
+    # descending order.
+    lp_i, lp_j = log_prob[:, None], log_prob[None, :]
+    before = valid[None, :] & (
+        (lp_j > lp_i) | ((lp_j == lp_i) & (gen[None, :] < gen[:, None]))
     )
+    rank = jnp.sum(before, axis=1).astype(jnp.int32)  # (C,)
+    # Duplicate iff the immediate sorted predecessor is field-equal.
+    dup = jnp.any(eq & (rank[None, :] == rank[:, None] - 1), axis=1)
+    keep = valid & ~dup
+    n = jnp.sum(keep).astype(jnp.int32)
+
+    # One top_k = the stable descending sort truncated to the beam. Ties
+    # resolve to the lower candidate index (XLA TopK semantics) = the
+    # reference's generation order. Pad slots (j >= n) repeat survivors
+    # from rank 0 (reference pushes results[i % n]); every rank they need
+    # is < min(n, max_beam_width) <= k, so the top_k window always covers it.
+    key = jnp.where(keep, log_prob, -jnp.inf)
+    _, top_idx = jax.lax.top_k(key, min(max_beam_width, C))
 
     j = jnp.arange(max_beam_width, dtype=jnp.int32)
     n_safe = jnp.maximum(n, 1)
-    # Slots beyond the survivor count repeat survivors from the front
-    # (reference pushes results[i % n] for i in 0..max_w-n).
     src_rank = jnp.where(j < n, j % n_safe, (j - n) % n_safe)
-    src = survivor_pos[src_rank]
+    src = top_idx[src_rank]
 
-    out = {k: v[src] for k, v in sorted_fields.items()}
+    out = {k: v[src] for k, v in fields.items()}
 
     if diag_mask is not None:
-        sorted_diag = diag_mask[order]
-        diag_keep = keep & sorted_diag
+        diag_keep = keep & diag_mask
         any_diag = jnp.any(diag_keep)
-        first_pos = jnp.argmax(diag_keep)  # first True in sorted order
+        # First survivor in sorted order with the flag = the flagged
+        # candidate of minimal sorted rank (rank is unique among valid).
+        first = jnp.argmin(jnp.where(diag_keep, rank, C))
         last = max_beam_width - 1
         for k in out:
             out[k] = out[k].at[last].set(
-                jnp.where(any_diag, sorted_fields[k][first_pos], out[k][last])
+                jnp.where(any_diag, fields[k][first], out[k][last])
             )
 
     out["num_survivors"] = n

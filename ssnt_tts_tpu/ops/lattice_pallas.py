@@ -74,6 +74,8 @@ def _lse(*terms):
 def _shift_down_k(x, k):
     if k == 0:
         return x
+    if k >= x.shape[1]:  # composed band wider than T (tiny-T tests)
+        return jnp.full(x.shape, NEG, x.dtype)
     rolled = pltpu.roll(x, shift=k, axis=1)
     t_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     return jnp.where(t_ids < k, NEG, rolled)
@@ -83,6 +85,8 @@ def _shift_up_k(x, k):
     if k == 0:
         return x
     T = x.shape[1]
+    if k >= T:
+        return jnp.full(x.shape, NEG, x.dtype)
     rolled = pltpu.roll(x, shift=T - k, axis=1)
     t_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     return jnp.where(t_ids >= T - k, NEG, rolled)
@@ -143,25 +147,61 @@ def forward_alphas_pallas(le, ls, lf, *, chunk: int = 16):
     )(le, ls, lf)
 
 
-# -------------------------------------------------- banded forward (K = 2)
+# ------------------------------------------------- banded forward (K-band)
 #
 # The column recursion is linear over the (logaddexp, +) semiring with a
 # 2-banded operator (see ops/lattice_scan.py for the full derivation):
 #     alpha_u = M_u alpha_{u-1},  M_u = [diag: lf_u + le_{u-1},
 #                                        sub:  lf_u + ls_{u-1}(t-1)]
-# Composing column pairs into 3-banded operators OFF the dependency chain
-# halves the sequential depth: the critical chain becomes U/2 three-term
-# band-applies, while the band build and the odd-column interior replay are
-# bulk VPU work the scheduler overlaps with it. This converts the
-# latency-bound small-batch regime into a throughput-bound one at ~2x the
-# elementwise work — a large net win when a (B, T) column is only a few
-# VREGs. The u=0 init is made uniform by a virtual carry: alpha_{-1} =
-# onehot(t == 0) with virtual le_prev = 0, ls_prev = NEG, so alpha_0 =
-# M_0 alpha_{-1} = where(t == 0, lf_0, NEG) exactly.
+# Composing K consecutive columns into one (K+1)-banded operator OFF the
+# dependency chain cuts the sequential depth to U/K: the critical chain
+# becomes U/K (K+1)-term band-applies, while the band build (a K-leaf
+# composition tree) and the K-1 interior-column replays are bulk VPU work
+# the scheduler overlaps with it. This converts the latency-bound
+# small-batch regime into a throughput-bound one at ~K/2x the elementwise
+# work — a large net win when a (B, T) column is only a few VREGs (the VPU
+# has ~40x throughput headroom there). The u=0 init is made uniform by a
+# virtual carry: alpha_{-1} = onehot(t == 0) with virtual le_prev = 0,
+# ls_prev = NEG, so alpha_0 = M_0 alpha_{-1} = where(t == 0, lf_0, NEG)
+# exactly. kband=2 reproduces round-2's banded-pair kernels bit-exactly.
+
+
+def _compose_down(A, B):
+    """(A o B) for subdiagonal band operators (B applied first): band lists
+    of (B, T) coefficients, result[k] = lse_{i+j=k} A[i] + shift_down(B[j], i).
+    """
+    out = [[] for _ in range(len(A) + len(B) - 1)]
+    for i, Ai in enumerate(A):
+        for j, Bj in enumerate(B):
+            out[i + j].append(Ai + _shift_down_k(Bj, i))
+    return [t[0] if len(t) == 1 else _lse(*t) for t in out]
+
+
+def _compose_up(A, B):
+    """(A o B) for superdiagonal band operators (B applied first):
+    result[k] = lse_{i+j=k} A[i] + shift_up(B[j], i)."""
+    out = [[] for _ in range(len(A) + len(B) - 1)]
+    for i, Ai in enumerate(A):
+        for j, Bj in enumerate(B):
+            out[i + j].append(Ai + _shift_up_k(Bj, i))
+    return [t[0] if len(t) == 1 else _lse(*t) for t in out]
+
+
+def _tree_compose(ops, compose):
+    """Compose a list of band operators (ops[0] applied first) pairwise:
+    [M0, M1, M2, M3] -> [M1oM0, M3oM2] -> [(M3oM2)o(M1oM0)]."""
+    while len(ops) > 1:
+        nxt = []
+        for i in range(0, len(ops) - 1, 2):
+            nxt.append(compose(ops[i + 1], ops[i]))
+        if len(ops) % 2:
+            nxt.append(ops[-1])
+        ops = nxt
+    return ops[0]
 
 
 def _fwd_kernel_banded(le_ref, ls_ref, lf_ref, alpha_out_ref,
-                       alpha_s, le_s, ls_s, *, chunk):
+                       alpha_s, le_s, ls_s, *, chunk, kband):
     B, T = alpha_s.shape
     block_id = pl.program_id(0)
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
@@ -175,47 +215,46 @@ def _fwd_kernel_banded(le_ref, ls_ref, lf_ref, alpha_out_ref,
     # Per-column 2-band operators (bulk, chain-free).
     le_prev = le_s[:]
     ls_prev = ls_s[:]
-    diag, sub = [], []
+    cols = []
     for j in range(chunk):
         lf = lf_ref[j]
-        diag.append(lf + le_prev)
-        sub.append(lf + _shift_down_k(ls_prev, 1))
+        cols.append([lf + le_prev, lf + _shift_down_k(ls_prev, 1)])
         le_prev = le_ref[j]
         ls_prev = ls_ref[j]
 
     alpha = alpha_s[:]
-    for s in range(chunk // 2):
-        lo, hi = 2 * s, 2 * s + 1
-        # Interior (odd-index recovery) — off the chain.
-        alpha_lo = _lse(diag[lo] + alpha,
-                        sub[lo] + _shift_down_k(alpha, 1))
-        alpha_out_ref[lo] = alpha_lo
-        # Pair composition M_hi o M_lo — off the chain.
-        P0 = diag[hi] + diag[lo]
-        P1 = _lse(diag[hi] + sub[lo],
-                  sub[hi] + _shift_down_k(diag[lo], 1))
-        P2 = sub[hi] + _shift_down_k(sub[lo], 1)
-        # Banded apply — the only chain-dependent step (depth U/2 overall).
-        alpha = _lse(P0 + alpha,
-                     P1 + _shift_down_k(alpha, 1),
-                     P2 + _shift_down_k(alpha, 2))
-        alpha_out_ref[hi] = alpha
+    for g in range(chunk // kband):
+        base = g * kband
+        Ms = cols[base:base + kband]
+        # Interior replay (columns base..base+K-2) — off the chain.
+        a = alpha
+        for j in range(kband - 1):
+            a = _lse(Ms[j][0] + a, Ms[j][1] + _shift_down_k(a, 1))
+            alpha_out_ref[base + j] = a
+        # Composition tree M_{K-1} o ... o M_0 — off the chain.
+        P = _tree_compose(list(Ms), _compose_down)
+        # Banded apply — the only chain-dependent step (depth U/K overall).
+        alpha = _lse(
+            *[P[k] + _shift_down_k(alpha, k) for k in range(len(P))]
+        )
+        alpha_out_ref[base + kband - 1] = alpha
     alpha_s[:] = alpha
     le_s[:] = le_prev
     ls_s[:] = ls_prev
 
 
-def forward_alphas_pallas_banded(le, ls, lf, *, chunk: int = 16):
-    """(U, B, T) -> (U, B, T) alphas; banded-pair chain (small-batch fast
-    path). U must be a multiple of chunk; chunk must be even."""
+def forward_alphas_pallas_banded(le, ls, lf, *, chunk: int = 16,
+                                 kband: int = 2):
+    """(U, B, T) -> (U, B, T) alphas; K-banded chain (small-batch fast
+    path). U must be a multiple of chunk; chunk a multiple of kband."""
     U, B, T = le.shape
-    assert U % chunk == 0 and chunk % 2 == 0, (U, chunk)
+    assert U % chunk == 0 and chunk % kband == 0, (U, chunk, kband)
     grid = (U // chunk,)
     block = pl.BlockSpec(
         (chunk, B, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel_banded, chunk=chunk),
+        functools.partial(_fwd_kernel_banded, chunk=chunk, kband=kband),
         grid=grid,
         in_specs=[block, block, block],
         out_specs=block,
@@ -535,9 +574,9 @@ def backward_grads_pallas(le, ls, lf, alphas, input_length, output_length,
     )
 
 
-# ----------------------------------- banded backward + gradients (K = 2)
+# --------------------------------- banded backward + gradients (K-band)
 #
-# Same chain-halving as the banded forward, for the beta recursion (a
+# Same chain-shortening as the banded forward, for the beta recursion (a
 # superdiagonal 2-band operator) with the posteriors computed in the same
 # walk. Per-example re-initialization at u == U_b - 1 breaks linearity, so
 # inputs are uniformized on load (ops/lattice_scan.py's derivation): for
@@ -550,7 +589,7 @@ def backward_grads_pallas(le, ls, lf, alphas, input_length, output_length,
 def _bwdgrad_kernel_banded(in_len_ref, out_len_ref, gz_ref,
                            le_ref, ls_ref, lf_ref, alpha_ref,
                            d_le_ref, d_ls_ref, d_lf_ref,
-                           beta_s, lf_s, *, chunk):
+                           beta_s, lf_s, *, chunk, kband):
     B, T = beta_s.shape
     nblocks = pl.num_programs(0)
     block_id = pl.program_id(0)
@@ -604,32 +643,35 @@ def _bwdgrad_kernel_banded(in_len_ref, out_len_ref, gz_ref,
         d_lf_ref[j] = neg_g * post(alpha + beta_j)
 
     beta = beta_s[:]
-    for s in range(chunk // 2 - 1, -1, -1):
-        lo, hi = 2 * s, 2 * s + 1
-        # Interior (hi column) — off the chain.
-        beta_hi = _lse(diag[hi] + beta, sup[hi] + _shift_up_k(beta, 1))
-        grads_at(hi, beta, beta_hi)
-        # Pair composition M_lo o M_hi — off the chain.
-        P0 = diag[lo] + diag[hi]
-        P1 = _lse(diag[lo] + sup[hi], sup[lo] + _shift_up_k(diag[hi], 1))
-        P2 = sup[lo] + _shift_up_k(sup[hi], 1)
-        # Banded apply — the chain (depth U/2 overall).
-        beta_new = _lse(P0 + beta,
-                        P1 + _shift_up_k(beta, 1),
-                        P2 + _shift_up_k(beta, 2))
-        grads_at(lo, beta_hi, beta_new)
-        beta = beta_new
+    for gidx in range(chunk // kband - 1, -1, -1):
+        base = gidx * kband
+        Ns = [[diag[base + j], sup[base + j]] for j in range(kband)]
+        # Interior replay (columns base+K-1 .. base+1) — off the chain.
+        bs = [None] * (kband + 1)
+        bs[kband] = beta  # beta at column base + kband
+        for j in range(kband - 1, 0, -1):
+            bs[j] = _lse(Ns[j][0] + bs[j + 1],
+                         Ns[j][1] + _shift_up_k(bs[j + 1], 1))
+            grads_at(base + j, bs[j + 1], bs[j])
+        # Composition tree N_base o ... o N_{base+K-1} (highest column
+        # applied first) — off the chain.
+        P = _tree_compose(list(reversed(Ns)), _compose_up)
+        # Banded apply — the chain (depth U/K overall).
+        beta = _lse(
+            *[P[k] + _shift_up_k(beta, k) for k in range(len(P))]
+        )
+        grads_at(base, bs[1], beta)
     beta_s[:] = beta
     lf_s[:] = lf_cols[0]
 
 
 def backward_grads_pallas_banded(le, ls, lf, alphas, input_length,
                                  output_length, g, logz, *,
-                                 chunk: int = 16):
-    """(U, B, T) inputs + alphas -> (d_le, d_ls, d_lf); banded-pair chain
+                                 chunk: int = 16, kband: int = 2):
+    """(U, B, T) inputs + alphas -> (d_le, d_ls, d_lf); K-banded chain
     (small-batch fast path). Betas never touch HBM."""
     U, B, T = le.shape
-    assert U % chunk == 0 and chunk % 2 == 0, (U, chunk)
+    assert U % chunk == 0 and chunk % kband == 0, (U, chunk, kband)
     nblocks = U // chunk
     rev = pl.BlockSpec(
         (chunk, B, T), lambda i: (nblocks - 1 - i, 0, 0),
@@ -645,7 +687,7 @@ def backward_grads_pallas_banded(le, ls, lf, alphas, input_length,
                    axis=1)
     shape = jax.ShapeDtypeStruct((U, B, T), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_bwdgrad_kernel_banded, chunk=chunk),
+        functools.partial(_bwdgrad_kernel_banded, chunk=chunk, kband=kband),
         grid=(nblocks,),
         in_specs=[len_spec, len_spec, gz_spec, rev, rev, rev, rev],
         out_specs=(rev, rev, rev),
@@ -789,23 +831,38 @@ def _auto_chunk(B: int, T: int, requested: int, streams: int = 8) -> int:
 
 
 # Below this many (B x padded-T) elements per column the kernels are
-# dependency-chain latency-bound: the banded-pair two-pass path (minimal
-# 44 B/cell HBM traffic, U/2 chain depth) wins there. Above it the chains
-# are throughput-fed anyway and the plain two-pass path is optimal.
+# dependency-chain latency-bound and the FUSED bidirectional kernel wins:
+# interleaving the independent alpha and beta chains fills each other's
+# issue stalls (measured v5e, B=32xT=80xU=400 fwd+bwd: fused 140 us vs
+# plain two-pass 208 us vs banded2 317 us — scripts/probe_r4.py after the
+# round-2 probe bug was fixed; round 2 shipped banded on corrupted data).
+# Banding LOSES despite the shorter chain: the composition bulk lands on
+# the in-order issue stream (probe_banded_k.py: K=4/8/16 monotonically
+# worse), so the VPU here is issue-bound with stall slack that only an
+# independent second chain can fill, not intra-chain restructuring.
+# Above the threshold the chains are throughput-fed and the plain
+# two-pass path (minimal 44 B/cell HBM traffic) is optimal.
 _FUSED_MAX_COLUMN_ELEMS = 8192
+
+# K used when a banded variant is forced without a suffix (the banded
+# kernels are kept as conformance-tested probes of the composition
+# approach; the auto dispatch never picks them — see above).
+_AUTO_BANDED_K = 2
 
 
 def _small_column(B: int, T: int) -> bool:
     return B * _t_pad(T) <= _FUSED_MAX_COLUMN_ELEMS
 
 
-def _forward_dispatch(le, ls, lf, chunk, banded):
+def _forward_dispatch(le, ls, lf, chunk, kband):
+    """kband=0: plain column walk; kband>=2: K-banded chain."""
     U, B, T = le.shape
-    if banded:
+    if kband:
         c = _auto_chunk(B, T, chunk, streams=4)
-        c = max(c, 2)
+        c = max(c, kband)
         return forward_alphas_pallas_banded(
-            _pad_u(le, c), _pad_u(ls, c), _pad_u(lf, c), chunk=c
+            _pad_u(le, c), _pad_u(ls, c), _pad_u(lf, c), chunk=c,
+            kband=kband,
         )[:U]
     c = _auto_chunk(B, T, chunk, streams=4)
     return forward_alphas_pallas(
@@ -819,7 +876,7 @@ def _loss_fwd_impl(le, ls, lf, input_length, output_length, chunk, variant):
     bit-match the values seen under grad — f32 reassociation differs between
     the banded/plain/exp walks)."""
     U, B, T = le.shape
-    mode = _grad_mode(variant, B, T)
+    mode, kband = _grad_mode(variant, B, T)
     if mode == "exp":
         c = _auto_chunk(B, T, chunk, streams=8)
         alphas, _ = fused_alphas_betas_pallas_exp(
@@ -831,8 +888,7 @@ def _loss_fwd_impl(le, ls, lf, input_length, output_length, chunk, variant):
         # "fused" alphas come from the identical log-domain column walk as
         # "plain" (same op order), so the plain forward kernel is value-exact
         # for it and skips the wasted beta half.
-        alphas = _forward_dispatch(le, ls, lf, chunk,
-                                   banded=mode == "banded")
+        alphas = _forward_dispatch(le, ls, lf, chunk, kband=kband)
     logz = _gather_logz(alphas, le, input_length, output_length)
     return logz, (le, ls, lf, alphas)
 
@@ -848,24 +904,34 @@ def _core(le, ls, lf, input_length, output_length, chunk, variant):
     return -logz
 
 
-def _grad_mode(variant: str, B: int, T: int) -> str:
+def _grad_mode(variant: str, B: int, T: int):
     """Deterministic grad-path choice, recomputed identically in fwd and
-    bwd (variant is a nondiff arg; shapes are static).
+    bwd (variant is a nondiff arg; shapes are static). Returns
+    (mode, kband) where kband is only meaningful for mode="banded".
 
-    auto/log: banded two-pass when latency-bound (small columns), plain
-    two-pass otherwise — both at the minimal 44 B/cell HBM traffic.
-    fused/exp: fused bidirectional kernel + XLA posterior pass (64 B/cell,
-    kept for conformance testing and as probes)."""
-    if variant in ("fused", "exp"):
-        return variant
-    if variant in ("banded", "plain"):
-        return variant
-    return "banded" if _small_column(B, T) else "plain"
+    auto/log: fused bidirectional kernel + XLA posterior pass (64 B/cell)
+    when latency-bound (small columns) — the two interleaved chains hide
+    each other's issue stalls; plain two-pass (minimal 44 B/cell HBM
+    traffic) when throughput-bound.
+    banded / bandedN: force the K-banded path (N in {2,4,8,16};
+    bare "banded" uses _AUTO_BANDED_K). Measured slower than both auto
+    paths on v5e (see _FUSED_MAX_COLUMN_ELEMS note); kept as
+    conformance-tested probes.
+    fused/exp/plain: force those paths."""
+    if variant in ("fused", "exp", "plain"):
+        return variant, 0
+    if variant.startswith("banded"):
+        k = int(variant[len("banded"):] or _AUTO_BANDED_K)
+        assert k >= 2 and (k & (k - 1)) == 0, variant
+        return "banded", k
+    if _small_column(B, T):
+        return "fused", 0
+    return "plain", 0
 
 
 def _core_fwd(le, ls, lf, input_length, output_length, chunk, variant):
     U, B, T = le.shape
-    mode = _grad_mode(variant, B, T)
+    mode, kband = _grad_mode(variant, B, T)
     if mode in ("fused", "exp"):
         c = _auto_chunk(B, T, chunk, streams=8)
         fused = (
@@ -879,8 +945,7 @@ def _core_fwd(le, ls, lf, input_length, output_length, chunk, variant):
         )
         alphas, betas = alphas[:U], betas[:U]
     else:
-        alphas = _forward_dispatch(le, ls, lf, chunk,
-                                   banded=mode == "banded")
+        alphas = _forward_dispatch(le, ls, lf, chunk, kband=kband)
         betas = None  # computed in the bwd pass (fused with the grads)
     logz = _gather_logz(alphas, le, input_length, output_length)
     return -logz, (
@@ -894,10 +959,12 @@ def _core_bwd(chunk, variant, res, g):
     if betas is None:
         # Two-pass regime: one reverse pass computing the gradients directly
         # (betas never touch HBM, no separate posterior pass).
-        mode = _grad_mode(variant, B, T)
+        mode, kband = _grad_mode(variant, B, T)
         if mode == "banded":
-            c = max(_auto_chunk(B, T, chunk, streams=7), 2)
-            bwd = backward_grads_pallas_banded
+            c = max(_auto_chunk(B, T, chunk, streams=7), kband)
+            bwd = functools.partial(
+                backward_grads_pallas_banded, kband=kband
+            )
         else:
             c = _auto_chunk(B, T, chunk, streams=7)
             bwd = backward_grads_pallas
@@ -954,14 +1021,15 @@ def ssnt_loss_pallas(log_emit, log_shift, log_frame=None, input_length=None,
     """Drop-in Pallas-accelerated ssnt_loss (same semantics/gradients as
     ops.lattice.ssnt_loss).
 
-    variant="log" (default): auto-dispatch between the two-pass paths —
-    banded-pair kernels (U/2 chain depth) for latency-bound small columns,
-    plain column-walk kernels for throughput-bound large ones; both at the
-    minimal 44 B/cell HBM traffic (fwd reads 12B writes alpha 4B; the
-    reverse pass reads 16B and writes the 3 grads 12B, betas never in HBM).
-    variant="banded"/"plain": force one of those two paths.
-    variant="fused": fused bidirectional log-domain kernel + XLA posterior
-    pass (64 B/cell; kept for conformance cross-checks).
+    variant="log" (default): auto-dispatch — the fused bidirectional
+    log-domain kernel + XLA posterior pass (64 B/cell; the two interleaved
+    chains hide each other's issue stalls) for latency-bound small columns,
+    plain column-walk two-pass kernels (44 B/cell: fwd reads 12B writes
+    alpha 4B; the reverse pass reads 16B and writes the 3 grads 12B, betas
+    never in HBM) for throughput-bound large ones.
+    variant="banded"/"bandedN" (N in 2/4/8/16) / "plain" / "fused": force
+    one of those paths (banded = U/K-depth composed chains; measured
+    slower than both auto paths on v5e, kept as tested probes).
     variant="exp": exp-domain short-chain fused kernels — ~equal values
     to f32 logaddexp (cells >87 nats below the running max flush to exactly
     0 instead of staying at huge-negative logs; both are below f32

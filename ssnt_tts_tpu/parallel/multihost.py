@@ -14,6 +14,8 @@ code path with process_count == 1, which is how tests cover it.
 
 from __future__ import annotations
 
+import logging
+import os
 from typing import Dict, Optional
 
 import jax
@@ -24,15 +26,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Wire up the cluster. No-op when running single-process (all args
-    None and no cluster env detected)."""
+    """Wire up the cluster.
+
+    With explicit args, or with cluster env detected, initialization
+    failures RAISE: a misconfigured cluster must not silently train on 1/N
+    hosts (VERDICT r2 missing #1). Only the no-args, no-cluster-env case
+    (plain single-process runs, CI) falls through — loudly."""
     if coordinator_address is None and num_processes is None:
-        # Rely on cluster auto-detection (TPU pods set the env); fall back to
-        # single-process silently.
+        cluster_env = any(
+            k in os.environ
+            for k in (
+                "JAX_COORDINATOR_ADDRESS",
+                "COORDINATOR_ADDRESS",
+                "TPU_WORKER_HOSTNAMES",
+                "MEGASCALE_COORDINATOR_ADDRESS",
+            )
+        )
         try:
             jax.distributed.initialize()
-        except Exception:
-            return
+        except Exception as e:
+            if cluster_env:
+                raise RuntimeError(
+                    "jax.distributed.initialize failed although cluster "
+                    "environment variables are set — refusing to fall back "
+                    f"to single-process: {e!r}"
+                ) from e
+            logging.getLogger(__name__).warning(
+                "jax.distributed auto-init unavailable (%r); running "
+                "single-process.", e,
+            )
     else:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
