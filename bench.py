@@ -158,6 +158,22 @@ def main():
             extras["lattice_fwdbwd_pallas_B256_Mcells_per_s"] = round(
                 mc256, 1
             )
+            # bf16 storage variant (26 B/cell): the far-past-f32-roofline
+            # path for the throughput-bound regime. Inputs pre-cast so the
+            # timed region sees bf16 HBM traffic (in a real step the joints
+            # emit bf16 directly).
+            _prog("pallas B256 bf16...")
+            le2h = le2.astype(jnp.bfloat16)
+            ls2h = ls2.astype(jnp.bfloat16)
+            lf2h = lf2.astype(jnp.bfloat16)
+            loss256_bf16 = lambda a, b, c: lattice_pallas.ssnt_loss_pallas(
+                a, b, c, T_b2, U_b2, layout="ubt", variant="bf16"
+            )
+            dt256h = bench_fn(grad_of(loss256_bf16), le2h, ls2h, lf2h,
+                              n_lo=6, n_hi=24)
+            extras["lattice_fwdbwd_bf16_B256_Mcells_per_s"] = round(
+                B2 * T * U / dt256h / 1e6, 1
+            )
         except Exception as e:  # pragma: no cover
             extras["b256_error"] = repr(e)[:200]
 
@@ -318,6 +334,9 @@ def main():
     extras["roofline_Mcells_per_s"] = round(roofline_mcells, 1)
     rl256 = hbm_gbps * 1e9 / 44.0 / 1e6
     extras["roofline_B256_Mcells_per_s"] = round(rl256, 1)
+    extras["roofline_bf16_B256_Mcells_per_s"] = round(
+        hbm_gbps * 1e9 / 26.0 / 1e6, 1
+    )
     if "lattice_fwdbwd_pallas_B256_Mcells_per_s" in extras:
         extras["b256_vs_target"] = round(
             extras["lattice_fwdbwd_pallas_B256_Mcells_per_s"]

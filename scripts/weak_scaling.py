@@ -34,6 +34,9 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true", default=True)
+    p.add_argument("--full", dest="tiny", action="store_false",
+                   help="production ModelConfig dims (amortizes per-op "
+                        "overhead; the honest partition-efficiency config)")
     p.add_argument("--seq", type=int, nargs=2, default=[24, 48],
                    metavar=("T", "U"))
     p.add_argument("--json", type=str, default=None,

@@ -111,6 +111,7 @@ class SSNTModel(nn.Module):
             split_rngs={"params": False},
             in_axes=1,
             out_axes=1,
+            unroll=8,
         )
         _, dec = scan(self.ar_cell, carry0, shifted)
         return dec

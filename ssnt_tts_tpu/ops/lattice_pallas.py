@@ -44,6 +44,12 @@ def _logaddexp(a, b):
     return m + jnp.log1p(jnp.exp(-jnp.abs(a - b)))
 
 
+def _f32(x):
+    """Load-time upcast: kernels compute f32 in VMEM regardless of the HBM
+    storage dtype (bf16 variant halves input traffic)."""
+    return x.astype(jnp.float32)
+
+
 def _shift_down_t(x):
     """x[..., t] -> value from t-1 (row 0 gets NEG). Lane-axis shift."""
     rolled = pltpu.roll(x, shift=1, axis=1)
@@ -108,7 +114,7 @@ def _fwd_kernel(le_ref, ls_ref, lf_ref, alpha_out_ref,
     le_prev = le_s[:]
     ls_prev = ls_s[:]
     for j in range(chunk):
-        lf = lf_ref[j]
+        lf = _f32(lf_ref[j])
         stay = alpha + le_prev
         moved = _shift_down_t(alpha + ls_prev)
         rec = lf + _logaddexp(stay, moved)
@@ -116,8 +122,8 @@ def _fwd_kernel(le_ref, ls_ref, lf_ref, alpha_out_ref,
         is_first = (block_id == 0) & (j == 0)
         alpha = jnp.where(is_first, init, rec)
         alpha_out_ref[j] = alpha
-        le_prev = le_ref[j]
-        ls_prev = ls_ref[j]
+        le_prev = _f32(le_ref[j])
+        ls_prev = _f32(ls_ref[j])
     alpha_s[:] = alpha
     le_s[:] = le_prev
     ls_s[:] = ls_prev
@@ -505,8 +511,8 @@ def _bwdgrad_kernel(in_len_ref, out_len_ref, gz_ref,
     for j in range(chunk - 1, -1, -1):
         u = base_u + j
         is_last_u = u == out_len - 1  # (B, 1)
-        le = le_ref[j]
-        ls = ls_ref[j]
+        le = _f32(le_ref[j])
+        ls = _f32(ls_ref[j])
         alpha = alpha_ref[j]
         cont = lf_next + beta  # lf[u+1] + beta[u+1]
         cont_shift_raw = _shift_up_t(cont)
@@ -523,14 +529,15 @@ def _bwdgrad_kernel(in_len_ref, out_len_ref, gz_ref,
                 valid, jnp.exp(jnp.minimum(score, 30.0)), 0.0
             )
 
-        d_le_ref[j] = neg_g * post(anorm + le + cont_emit)
-        d_ls_ref[j] = neg_g * post(anorm + ls + cont_shift)
+        odt = d_le_ref.dtype
+        d_le_ref[j] = (neg_g * post(anorm + le + cont_emit)).astype(odt)
+        d_ls_ref[j] = (neg_g * post(anorm + ls + cont_shift)).astype(odt)
         # Beta at u (needed for the occupancy grad and the next column).
         rec = _logaddexp(le + cont, ls + cont_shift_raw)
         init_col = jnp.where(is_last_t, le, NEG)
         beta = jnp.where(is_last_u, init_col, rec)
-        d_lf_ref[j] = neg_g * post(anorm + beta)
-        lf_next = lf_ref[j]
+        d_lf_ref[j] = (neg_g * post(anorm + beta)).astype(odt)
+        lf_next = _f32(lf_ref[j])
     beta_s[:] = beta
     lf_s[:] = lf_next
 
@@ -555,7 +562,10 @@ def backward_grads_pallas(le, ls, lf, alphas, input_length, output_length,
     )
     gz = jnp.stack([g.astype(jnp.float32), logz.astype(jnp.float32)],
                    axis=1)
-    shape = jax.ShapeDtypeStruct((U, B, T), jnp.float32)
+    # Grads are stored in the input dtype (bf16 variant: bf16 grads halve
+    # the write traffic; posteriors live in [0, 1] where bf16 keeps ~0.4%
+    # relative accuracy).
+    shape = jax.ShapeDtypeStruct((U, B, T), le.dtype)
     return pl.pallas_call(
         functools.partial(_bwdgrad_kernel, chunk=chunk),
         grid=(nblocks,),
@@ -918,6 +928,10 @@ def _grad_mode(variant: str, B: int, T: int):
     paths on v5e (see _FUSED_MAX_COLUMN_ELEMS note); kept as
     conformance-tested probes.
     fused/exp/plain: force those paths."""
+    if variant == "bf16":
+        # Same plain two-pass kernels; the bf16 storage rides on the input
+        # arrays' dtype (kernels upcast on load, grads store in kind).
+        return "plain", 0
     if variant in ("fused", "exp", "plain"):
         return variant, 0
     if variant.startswith("banded"):
@@ -1038,6 +1052,10 @@ def ssnt_loss_pallas(log_emit, log_shift, log_frame=None, input_length=None,
     variant="scan": pure-XLA blocked parallel scan (ops/lattice_scan.py,
     depth U/K + K) — the non-Pallas latency-breaking alternative, kept
     dispatchable so bench/probes can compare it on hardware.
+    variant="bf16": plain two-pass with le/ls/lf AND the returned grads
+    stored bf16 in HBM (f32 compute in VMEM, f32 alphas) — 26 B/cell vs
+    44, the far-past-f32-roofline path for the throughput-bound regime;
+    loss/grads agree with f32 to ~1% relative (mixed-precision contract).
 
     layout="btu": (B, T, U) reference-op layout (transposed to the kernels'
     time-major layout, 6 extra full-lattice HBM passes per fwd+bwd).
@@ -1056,4 +1074,18 @@ def ssnt_loss_pallas(log_emit, log_shift, log_frame=None, input_length=None,
         from ssnt_tts_tpu.ops import lattice_scan
 
         return lattice_scan.ssnt_loss_scan(*args[:5], layout="ubt")
+    if variant == "bf16":
+        # Halved lattice HBM traffic: le/ls/lf stored bf16 (kernels compute
+        # f32 in VMEM; alphas stay f32; grads return bf16 and the cast VJP
+        # restores the caller's dtype). In a real train step the producing
+        # joints emit bf16 directly, fusing this cast away. Accuracy: log-
+        # prob inputs carry ~2^-8 relative noise that accumulates ~sqrt(U)
+        # along paths — loss/grads agree with f32 to ~1e-2 relative
+        # (tests/test_lattice_pallas.py sets the contract), the standard
+        # mixed-precision training trade.
+        args = (
+            args[0].astype(jnp.bfloat16),
+            args[1].astype(jnp.bfloat16),
+            args[2].astype(jnp.bfloat16),
+        ) + args[3:]
     return _core(*args, chunk, variant)

@@ -100,6 +100,8 @@ def bench_fn(fn, *args, n_lo: int = 10, n_hi: int = 60,
 
     def step(x):
         out = fn(x, *rest)
-        return x + _scalarize(out) * 1e-12
+        # Preserve x's dtype (bf16 chains would otherwise promote to f32
+        # and break the fori_loop carry).
+        return (x + _scalarize(out) * 1e-12).astype(x.dtype)
 
     return bench_step(step, first, n_lo=n_lo, n_hi=n_hi, repeats=repeats)

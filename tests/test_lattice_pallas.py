@@ -187,6 +187,40 @@ def test_scan_variant_dispatch_matches_xla():
         )
 
 
+def test_bf16_variant_tracks_f32():
+    """variant="bf16" (bf16 HBM storage for inputs+grads, f32 VMEM compute):
+    loss and gradients track the f32 path to mixed-precision accuracy.
+    Input log-probs carry ~2^-8 relative rounding that accumulates ~sqrt(U)
+    along lattice paths, so the contract is loose-but-bounded: ~1e-2
+    relative on the loss, grads allclose at rtol=0.1/atol=0.02 (posteriors
+    live in [0, 1])."""
+    rng = np.random.default_rng(17)
+    B, T, U = 4, 8, 40
+    le, ls, lf = rand_inputs(rng, B, T, U)
+    T_b = np.array([8, 6, 5, 8], np.int32)
+    U_b = np.array([40, 28, 22, 33], np.int32)
+
+    loss16, g16 = jax.value_and_grad(
+        lambda a, b, c: jnp.sum(
+            lattice_pallas.ssnt_loss_pallas(
+                a, b, c, T_b, U_b, chunk=8, variant="bf16"
+            )
+        ),
+        argnums=(0, 1, 2),
+    )(le, ls, lf)
+    loss32, g32 = jax.value_and_grad(
+        lambda a, b, c: jnp.sum(lattice.ssnt_loss(a, b, c, T_b, U_b)),
+        argnums=(0, 1, 2),
+    )(le, ls, lf)
+    np.testing.assert_allclose(float(loss16), float(loss32), rtol=1e-2)
+    for ga, gb, name in zip(g16, g32, ["emit", "shift", "frame"]):
+        assert ga.dtype == jnp.float32  # cast VJP restores caller dtype
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), rtol=0.1, atol=0.02,
+            err_msg=name,
+        )
+
+
 def test_large_batch_separate_pass_regime():
     """B * Tpad above the fused threshold takes the fwd + grad-fused-bwd
     path; all grads and ragged masking must match the XLA implementation."""
