@@ -14,21 +14,29 @@ live in a dense (W*D,) layout (one slot per beam x class, with a validity
 mask standing in for Rust's Option/filter_map).
 
 Selection strategy (latency-shaped for the decode scan, VERDICT r2 #2):
-duplicates are identified BEFORE sorting via (C, C) pairwise matrices —
-bulk, fully parallel VPU work (C = W*D is at most a few hundred). Rust's
-dedup_by removes a candidate iff it equals its immediate predecessor in the
-stable sorted order (equality is transitive for non-NaN floats, so "equals
-the last-retained element" collapses to adjacent equality — but ONLY
-adjacent: an unequal interloper with the same log_prob between two equal
-candidates preserves the later one). That predicate is computed directly:
-each valid candidate's sorted rank is a pairwise count (strictly-greater
-log_prob, ties by generation index), and candidate i is a duplicate iff
-some equal candidate sits at rank(i) - 1. After masking duplicates, ONE
-`lax.top_k` over a single f32 key yields the beam: XLA's top_k breaks ties
-by lower index, which IS the reference's stable-sort tie order (generation
-order). Survivors then occupy ranks 0..n-1 contiguously, so the reference's
-pad-by-repetition (results[i % n]) becomes pure index arithmetic into the
-top_k ranks — no cumsum, no scatter, no multi-key sort anywhere.
+entirely SORT-FREE, built from (C, C) pairwise matrices — bulk, fully
+parallel VPU work (C = W*D is at most a few hundred). Rust's dedup_by
+removes a candidate iff it equals its immediate predecessor in the stable
+sorted order (equality is transitive for non-NaN floats, so "equals the
+last-retained element" collapses to adjacent equality — but ONLY adjacent:
+an unequal interloper with the same log_prob between two equal candidates
+preserves the later one). Both predicates come straight from ranks: each
+valid candidate's sorted rank is a pairwise count (strictly-greater
+log_prob, ties by generation index), candidate i is a duplicate iff some
+equal candidate sits at rank(i) - 1, and each survivor's output slot is its
+rank counted among survivors only. The output gather index is then an
+integer one-hot reduction over the survivor-rank matches; the reference's
+pad-by-repetition (results[i % n]) is index arithmetic on the wanted rank.
+No sort, top_k, cumsum, or scatter anywhere.
+
+Why not `lax.top_k` (what this replaced): besides being the one remaining
+sorting primitive in the decode step, TPU TopK orders floats by a signed
+bit-pattern total order in which +0.0 sorts STRICTLY before -0.0, whereas
+the reference's stable sort compares with IEEE `==` (−0.0 ties +0.0 and
+generation order decides). A finished beam carrying log_prob −0.0 against
+an active +0.0 candidate therefore decoded differently on TPU than on CPU
+(where the conformance suites run). The pairwise ranks use IEEE compares,
+so the sort-free form is reference-exact on every backend.
 
 v2's diagonal re-injection (src/v2.rs:282-308) is supported via `diag_mask`:
 the first surviving candidate flagged on-diagonal (= max log_prob, earliest
@@ -98,18 +106,21 @@ def select_beams(
     keep = valid & ~dup
     n = jnp.sum(keep).astype(jnp.int32)
 
-    # One top_k = the stable descending sort truncated to the beam. Ties
-    # resolve to the lower candidate index (XLA TopK semantics) = the
-    # reference's generation order. Pad slots (j >= n) repeat survivors
-    # from rank 0 (reference pushes results[i % n]); every rank they need
-    # is < min(n, max_beam_width) <= k, so the top_k window always covers it.
-    key = jnp.where(keep, log_prob, -jnp.inf)
-    _, top_idx = jax.lax.top_k(key, min(max_beam_width, C))
+    # Rank among survivors = count of keep-predecessors in the same stable
+    # order (no sort needed; unique per survivor since the order is total).
+    krank = jnp.sum(before & keep[None, :], axis=1).astype(jnp.int32)
 
+    # Output slot j wants survivor-rank j, with pad slots (j >= n) repeating
+    # survivors from rank 0 (reference pushes results[i % n]). The gather
+    # index is an exact integer one-hot reduction; if the beam emptied
+    # (n == 0, where the reference panics — surfaced via num_survivors)
+    # deterministically emit candidate 0.
     j = jnp.arange(max_beam_width, dtype=jnp.int32)
     n_safe = jnp.maximum(n, 1)
-    src_rank = jnp.where(j < n, j % n_safe, (j - n) % n_safe)
-    src = top_idx[src_rank]
+    want = jnp.where(j < n, j % n_safe, (j - n) % n_safe)
+    hit = keep[None, :] & (krank[None, :] == want[:, None])  # (W_out, C)
+    hit = hit | ((n == 0) & (gen[None, :] == 0))
+    src = jnp.sum(hit * gen[None, :], axis=1)
 
     out = {k: v[src] for k, v in fields.items()}
 

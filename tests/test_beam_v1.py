@@ -203,3 +203,35 @@ def test_widening_beam_loop():
     assert widened_once
     # The widened beam persisted through every later step.
     assert lph.shape == (W_out,) and t.shape == (W_out,)
+
+
+def test_negative_zero_log_prob_tie_order():
+    """-0.0 must tie +0.0 with generation order deciding (IEEE ==, like the
+    reference's stable sort). This is the case where `lax.top_k` diverges on
+    TPU: TopK's bit-pattern total order puts +0.0 strictly before -0.0, so
+    the sort-free pairwise-rank selection (ops/beam_common.py) is required
+    for backend-independent reference exactness. A finished beam holding
+    log_prob -0.0 emits a padding candidate that must outrank a later
+    active candidate landing exactly on +0.0.
+    """
+    T = 10
+    # Beam 0: finished with cumulative log_prob -0.0 -> padding candidate
+    #   (gen index 0, log_prob -0.0).
+    # Beam 1: active with history -1.5 and emit log-prob +1.5 -> candidate
+    #   at exactly +0.0 (gen index 2).
+    h = np.array([[0.0, 0.0], [1.5, -5.0]], np.float32)
+    lph = np.array([-0.0, -1.5], np.float32)
+    fin = np.array([True, False])
+    t = np.array([3, 4], np.int32)
+    u = np.array([2, 2], np.int32)
+    assert np.signbit(lph[0])
+    got = run_jax(h, lph, fin, t, u, T)
+    want = oracle.candidates_to_arrays(
+        oracle.v1_beam_search_kernel(h, lph, fin, t, u, T, 2)
+    )
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+    # The -0.0 padding candidate (from finished beam 0) precedes the +0.0
+    # active candidate.
+    assert got["beam_branch"][0] == 0 and bool(got["is_finished"][0])
+    assert got["beam_branch"][1] == 1 and not bool(got["is_finished"][1])
