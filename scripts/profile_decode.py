@@ -73,13 +73,16 @@ def report(name, dt):
 
 
 # ---- full decode step (the scan body of beam_decode, verbatim carry) ----
+beam_step_fn = decode_lib._v1_step_fn(None)  # pallas on TPU, XLA elsewhere
+
+
 def full_step(carry):
     t, u, lp, fin, dec_state, prev_mel = carry
     h, new_state, mel = model.apply(
         params, enc, jnp.clip(t, 0, T - 1), dec_state, prev_mel,
         method=model.decode_step,
     )
-    (pred, lp2, nt, nu, nfin, branch) = beam_v1.beam_search_decode_batched(
+    (pred, lp2, nt, nu, nfin, branch) = beam_step_fn(
         h, lp, fin, t, u, il
     )
     branch_i = branch[..., None].astype(jnp.int32)
@@ -127,7 +130,7 @@ h0 = jnp.asarray(rng.normal(0, 1, (B, W, 2)), jnp.float32)
 def beam_step(carry):
     t, u, lp, fin = carry
     h = h0 + lp[..., None] * 1e-20  # depend on carry; no hoisting
-    (pred, lp2, nt, nu, nfin, branch) = beam_v1.beam_search_decode_batched(
+    (pred, lp2, nt, nu, nfin, branch) = beam_step_fn(
         h, lp, fin, t, u, il
     )
     return (nt, nu, lp2 * 1e-6, nfin, )

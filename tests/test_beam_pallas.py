@@ -1,0 +1,133 @@
+"""Fused Pallas v1 beam step vs the XLA reference path.
+
+Runs the kernel in interpreter mode on the CPU backend (the same kernel
+code the TPU compiles); on-hardware bit-exact equality is asserted by
+scripts/probe_beam_pallas.py and was verified on a v5e (20 randomized
+trials, docs/DECODE_PROFILE.md).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ssnt_tts_tpu.ops import beam_pallas, beam_v1
+from ssnt_tts_tpu.parallel import decode as decode_lib
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(beam_pallas, "_INTERPRET", True)
+
+
+def _rand_case(trial, B, W, T):
+    r = np.random.default_rng(trial)
+    h = r.normal(0, 1, (B, W, 2)).astype(np.float32)
+    if trial % 2:
+        h = np.round(h * 2) / 2  # force log-prob ties
+    lp = np.round(r.normal(0, 1, (B, W)), 1).astype(np.float32)
+    fin = r.random((B, W)) < 0.2
+    t = r.integers(0, T + 1, (B, W)).astype(np.int32)
+    u = r.integers(0, 10, (B, W)).astype(np.int32)
+    return h, lp, fin, t, u
+
+
+NAMES = ["prediction", "log_prob", "next_t", "next_u", "is_finished",
+         "beam_branch"]
+
+
+def test_matches_xla_randomized():
+    B, W, T = 8, 8, 20
+    il = jnp.full((B,), T, jnp.int32)
+    for trial in range(30):
+        h, lp, fin, t, u = _rand_case(trial, B, W, T)
+        a = beam_v1.beam_search_decode_batched(
+            jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+            jnp.asarray(t), jnp.asarray(u), il,
+        )
+        b = beam_pallas.beam_search_step_batched(
+            jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+            jnp.asarray(t), jnp.asarray(u), il,
+        )
+        for k, xa, xb in zip(NAMES, a, b):
+            np.testing.assert_array_equal(
+                np.asarray(xa), np.asarray(xb),
+                err_msg=f"trial {trial} {k}",
+            )
+
+
+def test_matches_xla_widening():
+    """max_beam_width > W exercises pad-by-repetition of survivors."""
+    B, W, T = 4, 3, 12
+    il = jnp.full((B,), T, jnp.int32)
+    for trial in range(10):
+        h, lp, fin, t, u = _rand_case(trial, B, W, T)
+        a = beam_v1.beam_search_decode_batched(
+            jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+            jnp.asarray(t), jnp.asarray(u), il, max_beam_width=W + 5,
+        )
+        b = beam_pallas.beam_search_step_batched(
+            jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+            jnp.asarray(t), jnp.asarray(u), il, max_beam_width=W + 5,
+        )
+        for k, xa, xb in zip(NAMES, a, b):
+            np.testing.assert_array_equal(
+                np.asarray(xa), np.asarray(xb),
+                err_msg=f"trial {trial} {k}",
+            )
+
+
+def test_negative_zero_tie():
+    """The -0.0/+0.0 tie case (see test_beam_v1) through the kernel.
+
+    The kernel's one-hot log_prob sum may legitimately return +0.0 for a
+    selected -0.0 (IEEE -0.0 + +0.0 = +0.0; every consumer compares with
+    ==), so equality here is IEEE, exact otherwise.
+    """
+    B, W, T = 1, 2, 10
+    h = jnp.asarray([[[0.0, 0.0], [1.5, -5.0]]], jnp.float32)
+    lp = jnp.asarray([[-0.0, -1.5]], jnp.float32)
+    fin = jnp.asarray([[True, False]])
+    t = jnp.asarray([[3, 4]], jnp.int32)
+    u = jnp.asarray([[2, 2]], jnp.int32)
+    il = jnp.full((B,), T, jnp.int32)
+    a = beam_v1.beam_search_decode_batched(h, lp, fin, t, u, il)
+    b = beam_pallas.beam_search_step_batched(h, lp, fin, t, u, il)
+    for k, xa, xb in zip(NAMES, a, b):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb),
+                                      err_msg=k)
+    assert np.asarray(b[5])[0, 0] == 0 and bool(np.asarray(b[4])[0, 0])
+
+
+def test_decode_pipeline_equal():
+    """Full beam_decode: use_pallas=True (interpret) == XLA path."""
+    from ssnt_tts_tpu.models import SSNTModel
+    from ssnt_tts_tpu.parallel import train as train_lib
+    from ssnt_tts_tpu.utils.config import TrainConfig, tiny_model_config
+
+    cfg = tiny_model_config()
+    model = SSNTModel(cfg)
+    B, T, U, W = 2, 6, 10, 3
+    r = np.random.default_rng(0)
+    tokens = jnp.asarray(r.integers(1, cfg.vocab_size, (B, T)), jnp.int32)
+    il = jnp.full((B,), T, jnp.int32)
+    batch = {
+        "tokens": tokens,
+        "mel": jnp.asarray(r.normal(0, 1, (B, U, cfg.mel_dim)), jnp.float32),
+        "input_length": il,
+        "output_length": jnp.full((B,), U, jnp.int32),
+    }
+    state = train_lib.init_train_state(
+        model, jax.random.PRNGKey(0), batch, TrainConfig(warmup_steps=2)
+    )
+    kw = dict(max_frames=U, beam_width=W)
+    a = decode_lib.beam_decode(
+        model, state.params, tokens, il, use_pallas=False, **kw
+    )
+    b = decode_lib.beam_decode(
+        model, state.params, tokens, il, use_pallas=True, **kw
+    )
+    for k in a:
+        np.testing.assert_array_equal(
+            np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+        )
