@@ -1,7 +1,13 @@
-"""On-hardware check of the fused Pallas v1 beam step (ops/beam_pallas.py).
+"""On-hardware check of the fused Pallas beam steps (ops/beam_pallas.py).
 
-Asserts bit-exact equality vs the XLA path on randomized tie-heavy cases,
-then slope-times both step formulations in a chained scan.
+Asserts bit-exact equality vs the XLA paths (v1 and v2) on randomized
+tie-heavy cases, then slope-times all step formulations in a chained scan.
+
+Recorded result (v5e, 2026-08-20): v1 pallas 7.1 us vs 11.7 XLA (wins,
+auto-dispatched); v2 pallas 82 us vs 36 XLA at C=W*D=80 (loses - the
+pairwise-mask temporaries spill to the Mosaic VMEM stack at ~2.8 MB/batch
+row, forcing 4-row grid blocks; XLA's fused bool pipeline streams HBM
+instead). v2 therefore defaults to the XLA path in parallel/decode.py.
 
   python -u scripts/probe_beam_pallas.py
 """
@@ -71,9 +77,74 @@ def main():
         mk(lambda *a: beam_pallas.beam_search_step_batched(*a)),
         carry0, n_lo=20, n_hi=100,
     )
-    print(f"beam step XLA   : {d_x*1e6:7.2f} us")
-    print(f"beam step pallas: {d_p*1e6:7.2f} us")
+    print(f"v1 beam step XLA   : {d_x*1e6:7.2f} us")
+    print(f"v1 beam step pallas: {d_p*1e6:7.2f} us")
+
+
+def main_v2():
+    from ssnt_tts_tpu.ops import beam_v2
+
+    B, W, D = 32, 8, 10
+    il = jnp.full((B,), 80, jnp.int32)
+    ol = jnp.full((B,), 400, jnp.int32)
+    dt = jnp.arange(D, dtype=jnp.int32)
+    for trial in range(15):
+        r = np.random.default_rng(trial)
+        h = r.normal(0, 1, (B, W, D)).astype(np.float32)
+        if trial % 2:
+            h = np.round(h * 2) / 2
+        lp = np.round(r.normal(0, 1, (B, W)), 1).astype(np.float32)
+        fin = r.random((B, W)) < 0.2
+        t = r.integers(0, 81, (B, W)).astype(np.int32)
+        u = r.integers(0, 10, (B, W)).astype(np.int32)
+        tot = r.integers(0, 400, (B, W)).astype(np.int32)
+        kw = dict(return_num_survivors=True)
+        a = beam_v2.beam_search_decode(
+            jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+            jnp.asarray(tot), dt, jnp.asarray(t), jnp.asarray(u),
+            il, ol, **kw,
+        )
+        b = beam_pallas.v2_beam_search_decode(
+            jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+            jnp.asarray(tot), dt, jnp.asarray(t), jnp.asarray(u),
+            il, ol, **kw,
+        )
+        for name, xa, xb in zip(
+            ["pred", "lp", "nt", "nu", "fin", "tot", "branch", "ns"], a, b
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(xa), np.asarray(xb),
+                err_msg=f"trial {trial} {name}",
+            )
+    print("v2 equality: 15 randomized trials bit-exact")
+
+    rng = np.random.default_rng(0)
+    h0 = jnp.asarray(rng.normal(0, 1, (B, W, D)), jnp.float32)
+    carry0 = (
+        jnp.zeros((B, W), jnp.float32), jnp.zeros((B, W), bool),
+        jnp.zeros((B, W), jnp.int32), jnp.zeros((B, W), jnp.int32),
+        jnp.zeros((B, W), jnp.int32),
+    )
+
+    def mk(fn):
+        def step(c):
+            lp, fin, tot, t, u = c
+            h = h0 + lp[..., None] * 1e-20
+            pred, lp2, nt, nu, nfin, ntot, br, ns = fn(
+                h, lp, fin, tot, dt, t, u, il, ol,
+                return_num_survivors=True,
+            )
+            return (lp2 * 1e-6, nfin, ntot, nt, nu)
+        return step
+
+    d_x = bench_step(mk(beam_v2.beam_search_decode), carry0,
+                     n_lo=20, n_hi=100)
+    d_p = bench_step(mk(beam_pallas.v2_beam_search_decode), carry0,
+                     n_lo=20, n_hi=100)
+    print(f"v2 beam step XLA   : {d_x*1e6:7.2f} us")
+    print(f"v2 beam step pallas: {d_p*1e6:7.2f} us")
 
 
 if __name__ == "__main__":
     main()
+    main_v2()

@@ -36,20 +36,38 @@ from jax.experimental import pallas as pl
 
 _INTERPRET = False  # flipped by tests on the CPU backend
 
+# The pairwise-mask algebra materializes (BB, C, C)-shaped temporaries on
+# Mosaic's VMEM stack — i1 masks cost a full vreg lane each (measured:
+# stack/row = temps * C * 128 lanes * 4 B, with ~70 temps for the v2
+# kernel and ~45 for v1; eq-key packing shrinks op count but not the
+# allocator's stack). Batch is processed in grid blocks sized to budget.
+_VMEM_STACK_BUDGET = 12 * 2**20
+
+
+def _batch_block(B: int, C: int, temps: int) -> int:
+    per_row = C * max(C, 128) * 4 * temps
+    bb = max(1, min(B, _VMEM_STACK_BUDGET // per_row))
+    while B % bb:
+        bb -= 1
+    return bb
+
 
 def _v1_kernel(
     h_ref, lp_ref, fin_ref, t_ref, u_ref, il_ref,
     opred_ref, olp_ref, ont_ref, onu_ref, ofin_ref, obr_ref,
 ):
-    B, C = h_ref.shape
-    W_out = opred_ref.shape[1]
+    # Refs are (BB, 1, X): the batch block rides the unconstrained leading
+    # dim so BB can be any divisor of B (Mosaic requires the last two block
+    # dims to be (8k, 128k) or full-size).
+    B, _, C = h_ref.shape
+    W_out = opred_ref.shape[2]
 
-    h = h_ref[:]            # (B, C) candidate-class step log-prob
-    lp = lp_ref[:]          # (B, C) parent cumulative log-prob (repeated x2)
-    fin = fin_ref[:] != 0   # (B, C)
-    t = t_ref[:]
-    u = u_ref[:]
-    il = il_ref[:]          # (B, 1)
+    h = h_ref[:][:, 0, :]    # (B, C) candidate-class step log-prob
+    lp = lp_ref[:][:, 0, :]  # (B, C) parent cumulative log-prob (rep x2)
+    fin = fin_ref[:][:, 0, :] != 0
+    t = t_ref[:][:, 0, :]
+    u = u_ref[:][:, 0, :]
+    il = il_ref[:][:, 0, :]  # (B, 1)
 
     gen = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
     is_shift = (gen % 2) == 1
@@ -77,47 +95,12 @@ def _v1_kernel(
     parent = gen // 2
 
     # Pairwise stable order + adjacency dedup (beam_common.select_beams).
-    # Mosaic cannot broadcast/reshape i1 vectors into 3D, so every mask
-    # that crosses into (B, i, j) space lives as int32 0/1; compares on
-    # 32-bit 3D operands (producing elementwise i1, no reshape) are fine.
-    v32 = valid.astype(jnp.int32)
-    fin32 = cfin.astype(jnp.int32)
-    vi, vj = v32[:, :, None], v32[:, None, :]
-    lpi, lpj = clp[:, :, None], clp[:, None, :]
-    gi, gj = gen[:, :, None], gen[:, None, :]
-    eq = vi & vj & (lpi == lpj).astype(jnp.int32)
-    eq &= (pred[:, :, None] == pred[:, None, :]).astype(jnp.int32)
-    eq &= (cnt[:, :, None] == cnt[:, None, :]).astype(jnp.int32)
-    eq &= (cnu[:, :, None] == cnu[:, None, :]).astype(jnp.int32)
-    eq &= (fin32[:, :, None] == fin32[:, None, :]).astype(jnp.int32)
-    before = vj & (
-        (lpj > lpi).astype(jnp.int32)
-        | ((lpj == lpi).astype(jnp.int32) & (gj < gi).astype(jnp.int32))
-    )
-    rank = jnp.sum(before, axis=2)  # (B, C)
-    dup = (
-        jnp.sum(
-            eq & (rank[:, None, :] == rank[:, :, None] - 1).astype(jnp.int32),
-            axis=2,
-        )
-        > 0
-    )
-    keep = valid & ~dup
-    k32 = keep.astype(jnp.int32)
-    n = jnp.sum(k32, axis=1, keepdims=True)  # (B, 1)
-    krank = jnp.sum(before & k32[:, None, :], axis=2)  # (B, C)
-
-    j = jax.lax.broadcasted_iota(jnp.int32, (B, W_out), 1)
-    n_safe = jnp.maximum(n, 1)
-    want = jnp.where(j < n, j % n_safe, (j - n) % n_safe)  # (B, W_out)
-    hit = k32[:, None, :] & (
-        krank[:, None, :] == want[:, :, None]
-    ).astype(jnp.int32)
-    hit = hit | (
-        (n == 0).astype(jnp.int32)[:, :, None]
-        & (gen == 0).astype(jnp.int32)[:, None, :]
-    )
-    hit3 = hit == 1  # elementwise i1, never reshaped
+    # The four int eq_ignore_parent fields pack into ONE injective i32 key
+    # (2D op) so the O(C^2) space sees a single compare. Bounds: this holds
+    # for 0 <= next_u < 16384 and |next_t| < 32768 — far above any TTS
+    # shape this framework targets.
+    ekey = ((cnt * 16384 + cnu) * 2 + pred) * 2 + cfin.astype(jnp.int32)
+    hit3, _n = _select_sort_free(clp, valid, [ekey], gen, W_out)
 
     def pick_f32(x):
         return jnp.sum(jnp.where(hit3, x[:, None, :], 0.0), axis=2)
@@ -125,12 +108,96 @@ def _v1_kernel(
     def pick_i32(x):
         return jnp.sum(jnp.where(hit3, x[:, None, :], 0), axis=2)
 
-    opred_ref[:] = pick_i32(pred)
-    olp_ref[:] = pick_f32(clp)
-    ont_ref[:] = pick_i32(cnt)
-    onu_ref[:] = pick_i32(cnu)
-    ofin_ref[:] = pick_i32(cfin.astype(jnp.int32))
-    obr_ref[:] = pick_i32(parent)
+    opred_ref[:] = pick_i32(pred)[:, None, :]
+    olp_ref[:] = pick_f32(clp)[:, None, :]
+    ont_ref[:] = pick_i32(cnt)[:, None, :]
+    onu_ref[:] = pick_i32(cnu)[:, None, :]
+    ofin_ref[:] = pick_i32(cfin.astype(jnp.int32))[:, None, :]
+    obr_ref[:] = pick_i32(parent)[:, None, :]
+
+
+def _select_sort_free(
+    clp, valid, eq_keys, gen, W_out, diag_mask=None,
+):
+    """Shared in-kernel sort-free selection (beam_common semantics).
+
+    Args (all (B, C) unless noted):
+      clp f32 candidate log-probs; valid bool; eq_keys: 1-2 int32 arrays,
+      the eq_ignore_parent fields PACKED into injective integer keys by the
+      caller (packing is what keeps the O(C^2) compare count down); gen i32
+      generation index; diag_mask: optional bool, v2 re-injection flags.
+
+    Returns (hit3 (B, W_out, C) i1 one-hot, n (B, 1) i32 survivors).
+
+    VMEM-stack discipline (this is the whole game at C ~ 100): every 3D
+    temporary Mosaic materializes costs BB*C*128 bytes/lane-padded element,
+    so (a) all pairwise masks stay i1 — never cast per-compare, only once
+    per reduction; (b) i1 values are never broadcast or reshaped (Mosaic
+    cannot) — wherever a (B,1,C) mask would meet a (B,W,C) one, the mask is
+    folded into an i32 key BEFORE expansion (sentinel trick below).
+    """
+    B, C = clp.shape
+    v32 = valid.astype(jnp.int32)
+    # Expansion happens on i32/f32; compares yield elementwise i1 in place.
+    vj = v32[:, None, :] == 1
+    vi = v32[:, :, None] == 1
+    lpi, lpj = clp[:, :, None], clp[:, None, :]
+    gi, gj = gen[:, :, None], gen[:, None, :]
+    eq = vi & vj & (lpi == lpj)
+    for a in eq_keys:
+        eq &= a[:, :, None] == a[:, None, :]
+    before = vj & ((lpj > lpi) | ((lpj == lpi) & (gj < gi)))
+    rank = jnp.sum(before.astype(jnp.int32), axis=2)  # (B, C)
+    dup = (
+        jnp.sum(
+            (eq & (rank[:, None, :] == rank[:, :, None] - 1)).astype(
+                jnp.int32
+            ),
+            axis=2,
+        )
+        > 0
+    )
+    keep = valid & ~dup
+    k32 = keep.astype(jnp.int32)
+    n = jnp.sum(k32, axis=1, keepdims=True)  # (B, 1)
+    krank = jnp.sum((before & (k32[:, None, :] == 1)).astype(jnp.int32),
+                    axis=2)  # (B, C)
+
+    # Output slot j wants survivor-rank want[j]; non-survivors get their
+    # key bumped out of range so ONE i32 compare produces the (B, W, C)
+    # one-hot with no i1 broadcasting. Empty beam (n == 0, the reference
+    # panic) deterministically selects candidate 0 via sentinel -1.
+    j = jax.lax.broadcasted_iota(jnp.int32, (B, W_out), 1)
+    n_safe = jnp.maximum(n, 1)
+    want = jnp.where(j < n, j % n_safe, (j - n) % n_safe)
+    want = jnp.where(n == 0, -1, want)
+    key = krank + (1 - k32) * (C + 1)  # non-keep can never match
+    key = jnp.where((n == 0) & (gen == 0), -1, key)
+
+    if diag_mask is not None:
+        # v2 re-injection (src/v2.rs:282-308): the first surviving flagged
+        # candidate (minimal stable rank among flagged) replaces the last
+        # output slot — fold it into the same key/want compare: sentinel -2
+        # on the chosen candidate, -2 wanted by the last slot. The chosen
+        # candidate keeps serving its own survivor rank for the other
+        # slots, so only slots < W_out-1 match on krank (their want is
+        # always < n <= C, never -2).
+        dk = keep & diag_mask
+        dk32 = dk.astype(jnp.int32)
+        any_diag = jnp.sum(dk32, axis=1, keepdims=True) > 0  # (B, 1)
+        rmin = jnp.min(jnp.where(dk, rank, C), axis=1, keepdims=True)
+        first = dk & (rank == rmin)  # one-hot (B, C)
+        want = jnp.where(
+            (j == W_out - 1) & any_diag & (n > 0), -2, want
+        )
+        key2 = jnp.where(first & any_diag & (n > 0), -2, key)
+        hit3 = (key[:, None, :] == want[:, :, None]) | (
+            (key2[:, None, :] == want[:, :, None])
+        )
+        return hit3, n
+
+    hit3 = key[:, None, :] == want[:, :, None]
+    return hit3, n
 
 
 def beam_search_step_batched(
@@ -152,25 +219,229 @@ def beam_search_step_batched(
     B, W, _ = h.shape
     W_out = W if max_beam_width is None else max_beam_width
 
-    rep = lambda x: jnp.repeat(x, 2, axis=1)
+    C = 2 * W
+    rep = lambda x: jnp.repeat(x, 2, axis=1).reshape(B, 1, C)
+    bb = _batch_block(B, C, temps=45)
+    row = lambda width: pl.BlockSpec((bb, 1, width), lambda i: (i, 0, 0))
     out = pl.pallas_call(
         _v1_kernel,
+        grid=(B // bb,),
+        in_specs=[row(C)] * 5 + [row(1)],
+        out_specs=[row(W_out)] * 6,
         out_shape=[
-            jax.ShapeDtypeStruct((B, W_out), jnp.int32),
-            jax.ShapeDtypeStruct((B, W_out), jnp.float32),
-            jax.ShapeDtypeStruct((B, W_out), jnp.int32),
-            jax.ShapeDtypeStruct((B, W_out), jnp.int32),
-            jax.ShapeDtypeStruct((B, W_out), jnp.int32),
-            jax.ShapeDtypeStruct((B, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
         ],
         interpret=_INTERPRET,
     )(
-        h.reshape(B, 2 * W).astype(jnp.float32),
+        h.reshape(B, 1, C).astype(jnp.float32),
         rep(log_prob_history.astype(jnp.float32)),
         rep(is_finished.astype(jnp.int32)),
         rep(t.astype(jnp.int32)),
         rep(u.astype(jnp.int32)),
-        jnp.asarray(input_length, jnp.int32).reshape(B, 1),
+        jnp.asarray(input_length, jnp.int32).reshape(B, 1, 1),
     )
-    pred, lp, nt, nu, fin, br = out
+    pred, lp, nt, nu, fin, br = (x.reshape(B, W_out) for x in out)
     return pred, lp, nt, nu, fin != 0, br
+
+
+def _make_v2_kernel(
+    W_out: int,
+    D: int,
+    zero_duration_id: int,
+    allow_skip: bool,
+    test_mode: bool,
+    band_lower_frac: float,
+    band_upper_frac: float,
+    overrun_multiplier: int,
+    diag_lo: float,
+    diag_hi: float,
+):
+    """Fused v2 duration-class step (semantics: ops/beam_v2.beam_search_step,
+    reference /root/reference/src/v2.rs:119-166, 269-339)."""
+
+    def kernel(
+        h_ref, hist_ref, fin_ref, tot_ref, t_ref, u_ref, dtab_ref,
+        il_ref, ol_ref,
+        opred_ref, olp_ref, ont_ref, onu_ref, ofin_ref, otot_ref,
+        obr_ref, onsurv_ref,
+    ):
+        # Refs are (BB, 1, X); see _v1_kernel for the layout rationale.
+        B, _, C = h_ref.shape
+
+        h = h_ref[:][:, 0, :]       # (B, C) beam-major class-minor
+        hist = hist_ref[:][:, 0, :]  # (B, C) parent log-prob (rep xD)
+        fin = fin_ref[:][:, 0, :] != 0
+        tot0 = tot_ref[:][:, 0, :]
+        t = t_ref[:][:, 0, :]
+        u = u_ref[:][:, 0, :]
+        dtab = dtab_ref[:][:, 0, :]  # (1, C): duration_table tiled W times
+        T = il_ref[:][:, 0, :]       # (B, 1)
+        U = ol_ref[:][:, 0, :]       # (B, 1)
+
+        gen = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+        d_ids = gen % D
+        parent = gen // D
+
+        active = (t < T) & (~fin)          # src/v2.rs:119-125
+        last = t == T - 1
+
+        tot = tot0 + dtab                  # (B, C) candidate cumulative
+
+        Uf = U.astype(jnp.float32)         # (B, 1)
+        Tf = T.astype(jnp.float32)
+        diag = Uf / Tf * (t + 1).astype(jnp.float32)
+        lower = jnp.maximum(diag - Uf * band_lower_frac, 0.0).astype(
+            jnp.int32
+        )
+        upper = jnp.minimum(diag + Uf * band_upper_frac, Uf).astype(
+            jnp.int32
+        )
+        band_ok = (tot >= lower) & (tot <= upper)
+        overrun = (T - (t + 1)) * overrun_multiplier > U
+        final_len_ok = (~last) | (tot == U)
+        skip_ok = (
+            jnp.full((B, C), True)
+            if allow_skip
+            else d_ids != zero_duration_id
+        )
+
+        valid = active & skip_ok
+        if not test_mode:
+            valid = valid & band_ok & (~overrun) & final_len_ok
+
+        pred = d_ids
+        lp = hist + h
+        nt = jnp.where(last, t, t + 1)
+        nu = jnp.where(last, u, u + 1)
+        cfin = last
+
+        # Padding candidate for finished/out-of-range beams in class slot 0
+        # (src/v2.rs:313-323).
+        pad0 = (~active) & (d_ids == 0)
+        pred = jnp.where(pad0, zero_duration_id, pred)
+        lp = jnp.where(pad0, hist, lp)
+        nt = jnp.where(pad0, t, nt)
+        nu = jnp.where(pad0, u, nu)
+        cfin = cfin | pad0
+        tot = jnp.where(pad0, tot0, tot)
+        valid = valid | pad0
+
+        diag_mask = None
+        if not test_mode:
+            # on_diagonal uses the candidate's next_t (src/v2.rs:113-117).
+            diag_next = Uf / Tf * nt.astype(jnp.float32)
+            diff = tot.astype(jnp.float32) - diag_next
+            diag_mask = (diff >= diag_lo) & (diff <= diag_hi)
+
+        # Five int eq fields pack into TWO injective i32 keys (2D ops).
+        # Bounds: 0 <= nu < 16384, |nt| < 32768, tot < 2**17, D <= 64.
+        ekey1 = nt * 16384 + nu
+        ekey2 = (tot * 64 + pred) * 2 + cfin.astype(jnp.int32)
+        hit3, n = _select_sort_free(
+            lp, valid, [ekey1, ekey2], gen, W_out, diag_mask=diag_mask,
+        )
+
+        def pick_f32(x):
+            return jnp.sum(jnp.where(hit3, x[:, None, :], 0.0), axis=2)
+
+        def pick_i32(x):
+            return jnp.sum(jnp.where(hit3, x[:, None, :], 0), axis=2)
+
+        opred_ref[:] = pick_i32(pred)[:, None, :]
+        olp_ref[:] = pick_f32(lp)[:, None, :]
+        ont_ref[:] = pick_i32(nt)[:, None, :]
+        onu_ref[:] = pick_i32(nu)[:, None, :]
+        ofin_ref[:] = pick_i32(cfin.astype(jnp.int32))[:, None, :]
+        otot_ref[:] = pick_i32(tot)[:, None, :]
+        obr_ref[:] = pick_i32(parent)[:, None, :]
+        onsurv_ref[:] = n[:, None, :]
+
+    return kernel
+
+
+def v2_beam_search_decode(
+    h: jax.Array,
+    log_prob_history: jax.Array,
+    is_finished: jax.Array,
+    total_duration: jax.Array,
+    duration_table: jax.Array,
+    t: jax.Array,
+    u: jax.Array,
+    input_length: jax.Array,
+    output_length: jax.Array,
+    *,
+    zero_duration_id: int = 0,
+    allow_skip: bool = False,
+    test_mode: bool = False,
+    max_beam_width: int | None = None,
+    return_num_survivors: bool = False,
+    config=None,
+):
+    """Fused batched v2 step; drop-in equal to ops.beam_v2.beam_search_decode
+    (bit-exact: tests/test_beam_pallas.py, scripts/probe_beam_pallas.py)."""
+    from ssnt_tts_tpu.utils.config import V2BeamConfig
+
+    cfg = config if config is not None else V2BeamConfig()
+    B, W, D = h.shape
+    W_out = W if max_beam_width is None else max_beam_width
+    C = W * D
+
+    input_length = jnp.asarray(input_length, jnp.int32)
+    output_length = jnp.asarray(output_length, jnp.int32)
+    if test_mode:
+        output_length = jnp.zeros_like(input_length)
+
+    kernel = _make_v2_kernel(
+        W_out, D, zero_duration_id, bool(allow_skip), bool(test_mode),
+        float(cfg.band_lower_frac), float(cfg.band_upper_frac),
+        int(cfg.overrun_multiplier),
+        float(cfg.diagonal_window[0]), float(cfg.diagonal_window[1]),
+    )
+    rep = lambda x: jnp.repeat(x, D, axis=1).reshape(B, 1, C)
+    bb = _batch_block(B, C, temps=70)
+    row = lambda width: pl.BlockSpec((bb, 1, width), lambda i: (i, 0, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // bb,),
+        in_specs=(
+            [row(C)] * 6
+            + [pl.BlockSpec((1, 1, C), lambda i: (0, 0, 0))]  # dur table
+            + [row(1)] * 2
+        ),
+        out_specs=[row(W_out)] * 7 + [row(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ],
+        interpret=_INTERPRET,
+    )(
+        h.reshape(B, 1, C).astype(jnp.float32),
+        rep(log_prob_history.astype(jnp.float32)),
+        rep(is_finished.astype(jnp.int32)),
+        rep(total_duration.astype(jnp.int32)),
+        rep(t.astype(jnp.int32)),
+        rep(u.astype(jnp.int32)),
+        jnp.tile(
+            jnp.asarray(duration_table, jnp.int32), W
+        ).reshape(1, 1, C),
+        input_length.reshape(B, 1, 1),
+        output_length.reshape(B, 1, 1),
+    )
+    pred, lp, nt, nu, fin, tot, br = (
+        x.reshape(B, W_out) for x in out[:7]
+    )
+    result = (pred, lp, nt, nu, fin != 0, tot, br)
+    if return_num_survivors:
+        return result + (out[7].reshape(B),)
+    return result

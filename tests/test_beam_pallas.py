@@ -131,3 +131,94 @@ def test_decode_pipeline_equal():
         np.testing.assert_array_equal(
             np.asarray(a[k]), np.asarray(b[k]), err_msg=k
         )
+
+
+def _rand_v2_case(trial, B, W, D):
+    r = np.random.default_rng(trial)
+    T = int(r.integers(3, 12))
+    il = np.asarray(r.integers(2, T + 1, (B,)), np.int32)
+    ol = np.asarray(r.integers(5, 40, (B,)), np.int32)
+    dtab = np.concatenate([[0], r.integers(1, 6, (D - 1,))]).astype(np.int32)
+    h = r.normal(0, 1, (B, W, D)).astype(np.float32)
+    if trial % 2:
+        h = np.round(h * 2) / 2
+    lp = np.round(r.normal(0, 1, (B, W)), 1).astype(np.float32)
+    fin = r.random((B, W)) < 0.25
+    t = r.integers(0, T + 1, (B, W)).astype(np.int32)
+    u = r.integers(0, 10, (B, W)).astype(np.int32)
+    tot = r.integers(0, 30, (B, W)).astype(np.int32)
+    return h, lp, fin, tot, dtab, t, u, il, ol
+
+
+V2_NAMES = ["prediction", "log_prob", "next_t", "next_u", "is_finished",
+            "total_duration", "beam_branch", "num_survivors"]
+
+
+def test_v2_matches_xla_randomized():
+    """Randomized conformance incl. test_mode, allow_skip, empty beams,
+    diagonal re-injection (fires whenever a survivor is near-diagonal)."""
+    from ssnt_tts_tpu.ops import beam_v2
+
+    B, W, D = 4, 5, 7
+    for trial in range(40):
+        h, lp, fin, tot, dtab, t, u, il, ol = _rand_v2_case(trial, B, W, D)
+        kw = dict(
+            zero_duration_id=0,
+            allow_skip=bool(trial % 3 == 0),
+            test_mode=bool(trial % 4 == 0),
+            return_num_survivors=True,
+        )
+        a = beam_v2.beam_search_decode(
+            jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+            jnp.asarray(tot), jnp.asarray(dtab), jnp.asarray(t),
+            jnp.asarray(u), jnp.asarray(il), jnp.asarray(ol), **kw,
+        )
+        b = beam_pallas.v2_beam_search_decode(
+            jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+            jnp.asarray(tot), jnp.asarray(dtab), jnp.asarray(t),
+            jnp.asarray(u), jnp.asarray(il), jnp.asarray(ol), **kw,
+        )
+        for k, xa, xb in zip(V2_NAMES, a, b):
+            np.testing.assert_array_equal(
+                np.asarray(xa), np.asarray(xb),
+                err_msg=f"trial {trial} {k}",
+            )
+
+
+def test_v2_pipeline_equal():
+    """Full v2_duration_decode: use_pallas=True (interpret) == XLA path."""
+    from ssnt_tts_tpu.models import SSNTModel
+    from ssnt_tts_tpu.parallel import train as train_lib
+    from ssnt_tts_tpu.utils.config import TrainConfig, tiny_model_config
+
+    cfg = tiny_model_config()
+    model = SSNTModel(cfg)
+    B, T, U, W = 2, 6, 12, 3
+    r = np.random.default_rng(0)
+    tokens = jnp.asarray(r.integers(1, cfg.vocab_size, (B, T)), jnp.int32)
+    il = jnp.full((B,), T, jnp.int32)
+    batch = {
+        "tokens": tokens,
+        "mel": jnp.asarray(r.normal(0, 1, (B, U, cfg.mel_dim)), jnp.float32),
+        "input_length": il,
+        "output_length": jnp.full((B,), U, jnp.int32),
+    }
+    state = train_lib.init_train_state(
+        model, jax.random.PRNGKey(0), batch, TrainConfig(warmup_steps=2)
+    )
+    dtab = jnp.arange(cfg.duration_class_size, dtype=jnp.int32)
+    kw = dict(
+        beam_width=W, max_frames=U,
+    )
+    a = decode_lib.v2_duration_decode(
+        model, state.params, tokens, il, jnp.full((B,), U, jnp.int32),
+        dtab, use_pallas=False, **kw,
+    )
+    b = decode_lib.v2_duration_decode(
+        model, state.params, tokens, il, jnp.full((B,), U, jnp.int32),
+        dtab, use_pallas=True, **kw,
+    )
+    for k in a:
+        np.testing.assert_array_equal(
+            np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+        )
