@@ -59,6 +59,7 @@ def select_beams(
     max_beam_width: int,
     eq_keys: Sequence[str],
     diag_mask: Optional[jax.Array] = None,
+    eq_packed: Optional[Sequence[jax.Array]] = None,
 ) -> Dict[str, jax.Array]:
     """Select the top `max_beam_width` beam hypotheses reference-identically.
 
@@ -75,6 +76,12 @@ def select_beams(
       diag_mask: optional (C,) bool; if given, the first *surviving* candidate
         with a True flag replaces the last output slot (v2 diagonal
         re-injection, src/v2.rs:298-308).
+      eq_packed: optional 1-2 (C,) int32 arrays: the eq_keys fields packed
+        into injective integer keys by the caller (bounds documented at the
+        call sites). When given they replace the per-field (C, C) compares —
+        the pairwise matrices are the step's dominant byte traffic at
+        C = W*D, so fewer compares is a direct HBM saving. log_prob is
+        still compared separately (it is f32).
 
     Returns:
       name -> (max_beam_width,) selected fields, plus key "num_survivors"
@@ -88,11 +95,15 @@ def select_beams(
     # valid and equal on every eq field.
     eq = valid[:, None] & valid[None, :]
     eq &= log_prob[:, None] == log_prob[None, :]
-    for k in eq_keys:
-        if k == "log_prob":
-            continue
-        a = fields[k]
-        eq &= a[:, None] == a[None, :]
+    if eq_packed is not None:
+        for a in eq_packed:
+            eq &= a[:, None] == a[None, :]
+    else:
+        for k in eq_keys:
+            if k == "log_prob":
+                continue
+            a = fields[k]
+            eq &= a[:, None] == a[None, :]
     # Sorted rank among VALID candidates (invalid ones sort after all valid
     # ones and never dedup): before[i, j] = j precedes i in the stable
     # descending order.
@@ -122,20 +133,18 @@ def select_beams(
     hit = hit | ((n == 0) & (gen[None, :] == 0))
     src = jnp.sum(hit * gen[None, :], axis=1)
 
-    out = {k: v[src] for k, v in fields.items()}
-
     if diag_mask is not None:
         diag_keep = keep & diag_mask
         any_diag = jnp.any(diag_keep)
         # First survivor in sorted order with the flag = the flagged
         # candidate of minimal sorted rank (rank is unique among valid).
+        # Folding the replacement into the gather index replaces one
+        # .at-update per field with a single update on src.
         first = jnp.argmin(jnp.where(diag_keep, rank, C))
         last = max_beam_width - 1
-        for k in out:
-            out[k] = out[k].at[last].set(
-                jnp.where(any_diag, fields[k][first], out[k][last])
-            )
+        src = src.at[last].set(jnp.where(any_diag, first, src[last]))
 
+    out = {k: v[src] for k, v in fields.items()}
     out["num_survivors"] = n
     return out
 

@@ -97,8 +97,8 @@ def _v1_kernel(
     # Pairwise stable order + adjacency dedup (beam_common.select_beams).
     # The four int eq_ignore_parent fields pack into ONE injective i32 key
     # (2D op) so the O(C^2) space sees a single compare. Bounds: this holds
-    # for 0 <= next_u < 16384 and |next_t| < 32768 — far above any TTS
-    # shape this framework targets.
+    # for 0 <= next_u < 16384 and 0 <= next_t < 16384 (key stays within
+    # i32) — far above any TTS shape this framework targets.
     ekey = ((cnt * 16384 + cnu) * 2 + pred) * 2 + cfin.astype(jnp.int32)
     hit3, _n = _select_sort_free(clp, valid, [ekey], gen, W_out)
 

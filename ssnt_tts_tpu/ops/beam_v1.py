@@ -97,8 +97,16 @@ def beam_search_step(
     }
     valid = interleave_candidates([emit_valid, shift_valid])
 
+    # Pack the four int eq fields into ONE injective i32 key (bounds:
+    # 0 <= next_u < 16384, 0 <= next_t < 16384 — far above any TTS shape);
+    # see beam_common.select_beams eq_packed.
+    ekey = (
+        (fields["next_t"] * 16384 + fields["next_u"]) * 2
+        + fields["prediction"]
+    ) * 2 + fields["is_finished"].astype(jnp.int32)
     out = select_beams(
-        fields, valid, fields["log_prob"], max_beam_width, _EQ_KEYS
+        fields, valid, fields["log_prob"], max_beam_width, _EQ_KEYS,
+        eq_packed=(ekey,),
     )
     return (
         out["prediction"],

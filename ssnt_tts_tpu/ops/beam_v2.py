@@ -157,6 +157,14 @@ def beam_search_step(
         lo, hi = cfg.diagonal_window
         diag_mask = (diff >= lo) & (diff <= hi)
 
+    # The five int eq fields pack into TWO injective i32 keys, replacing
+    # five (C, C) compares with two — the pairwise matrices dominate this
+    # step's HBM traffic at C = W*D. Bounds (far above any TTS shape):
+    # 0 <= next_u < 16384, |next_t| < 32768, total_duration < 2**17, D <= 64.
+    ekey1 = fields["next_t"] * 16384 + fields["next_u"]
+    ekey2 = (
+        fields["total_duration"] * 64 + fields["prediction"]
+    ) * 2 + fields["is_finished"].astype(jnp.int32)
     out = select_beams(
         fields,
         valid.reshape(-1),
@@ -164,6 +172,7 @@ def beam_search_step(
         max_beam_width,
         _EQ_KEYS,
         diag_mask=diag_mask,
+        eq_packed=(ekey1, ekey2),
     )
     result = (
         out["prediction"],

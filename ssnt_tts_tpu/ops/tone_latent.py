@@ -74,8 +74,16 @@ def beam_search_step(
         "is_finished": fin.reshape(-1),
         "parent_branch": parent.reshape(-1),
     }
+    # Pack the four int eq fields into TWO injective i32 keys (bounds:
+    # 0 <= next_u < 16384, 0 <= next_t < 16384, tone classes < 2**30);
+    # see beam_common.select_beams eq_packed.
+    ekey1 = fields["next_t"] * 16384 + fields["next_u"]
+    ekey2 = fields["prediction"] * 2 + fields["is_finished"].astype(
+        jnp.int32
+    )
     out = select_beams(
-        fields, valid.reshape(-1), fields["log_prob"], max_beam_width, _EQ_KEYS
+        fields, valid.reshape(-1), fields["log_prob"], max_beam_width,
+        _EQ_KEYS, eq_packed=(ekey1, ekey2),
     )
     result = (
         out["prediction"],
