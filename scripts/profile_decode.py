@@ -74,26 +74,47 @@ def report(name, dt):
 
 # ---- full decode step (the scan body of beam_decode, verbatim carry) ----
 beam_step_fn = decode_lib._v1_step_fn(None)  # pallas on TPU, XLA elsewhere
+USE_PALLAS = jax.default_backend() == "tpu"
 
 
 def full_step(carry):
+    # Mirrors the production beam_decode scan body (parallel/decode.py).
     t, u, lp, fin, dec_state, prev_mel = carry
     h, new_state, mel = model.apply(
         params, enc, jnp.clip(t, 0, T - 1), dec_state, prev_mel,
         method=model.decode_step,
     )
-    (pred, lp2, nt, nu, nfin, branch) = beam_step_fn(
-        h, lp, fin, t, u, il
-    )
-    branch_i = branch[..., None].astype(jnp.int32)
-    packed = jnp.concatenate([new_state, mel, prev_mel], axis=-1)
-    packed = jnp.take_along_axis(packed, branch_i, axis=1)
-    new_state, mel, prev_mel_g = (
-        packed[..., :H], packed[..., H:H + M], packed[..., H + M:]
-    )
-    ints = jnp.stack([fin.astype(jnp.int32), t], axis=-1)
-    ints = jnp.take_along_axis(ints, branch_i, axis=1)
-    fin_prev = ints[..., 0].astype(bool)
+    if USE_PALLAS:
+        from ssnt_tts_tpu.ops import beam_pallas
+
+        packed = jnp.concatenate(
+            [new_state, mel, prev_mel,
+             fin.astype(jnp.float32)[..., None],
+             t.astype(jnp.float32)[..., None]],
+            axis=-1,
+        )
+        (pred, lp2, nt, nu, nfin, branch, packed) = (
+            beam_pallas.beam_search_step_reorder(
+                h, lp, fin, t, u, il, packed
+            )
+        )
+        new_state, mel, prev_mel_g = (
+            packed[..., :H], packed[..., H:H + M], packed[..., H + M:-2]
+        )
+        fin_prev = packed[..., -2] != 0
+    else:
+        (pred, lp2, nt, nu, nfin, branch) = beam_step_fn(
+            h, lp, fin, t, u, il
+        )
+        branch_i = branch[..., None].astype(jnp.int32)
+        packed = jnp.concatenate([new_state, mel, prev_mel], axis=-1)
+        packed = jnp.take_along_axis(packed, branch_i, axis=1)
+        new_state, mel, prev_mel_g = (
+            packed[..., :H], packed[..., H:H + M], packed[..., H + M:]
+        )
+        ints = jnp.stack([fin.astype(jnp.int32), t], axis=-1)
+        ints = jnp.take_along_axis(ints, branch_i, axis=1)
+        fin_prev = ints[..., 0].astype(bool)
     mel = jnp.where(nfin[..., None] & fin_prev[..., None], prev_mel_g, mel)
     return (nt, nu, lp2, nfin, new_state, mel)
 

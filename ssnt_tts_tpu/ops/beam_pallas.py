@@ -52,15 +52,11 @@ def _batch_block(B: int, C: int, temps: int) -> int:
     return bb
 
 
-def _v1_kernel(
-    h_ref, lp_ref, fin_ref, t_ref, u_ref, il_ref,
-    opred_ref, olp_ref, ont_ref, onu_ref, ofin_ref, obr_ref,
+def _v1_candidates_and_hit(
+    h_ref, lp_ref, fin_ref, t_ref, u_ref, il_ref, W_out,
 ):
-    # Refs are (BB, 1, X): the batch block rides the unconstrained leading
-    # dim so BB can be any divisor of B (Mosaic requires the last two block
-    # dims to be (8k, 128k) or full-size).
+    """Shared v1 candidate construction + selection (see _v1_kernel)."""
     B, _, C = h_ref.shape
-    W_out = opred_ref.shape[2]
 
     h = h_ref[:][:, 0, :]    # (B, C) candidate-class step log-prob
     lp = lp_ref[:][:, 0, :]  # (B, C) parent cumulative log-prob (rep x2)
@@ -101,19 +97,70 @@ def _v1_kernel(
     # i32) — far above any TTS shape this framework targets.
     ekey = ((cnt * 16384 + cnu) * 2 + pred) * 2 + cfin.astype(jnp.int32)
     hit3, _n = _select_sort_free(clp, valid, [ekey], gen, W_out)
+    return pred, clp, cnt, cnu, cfin, parent, hit3
 
-    def pick_f32(x):
-        return jnp.sum(jnp.where(hit3, x[:, None, :], 0.0), axis=2)
 
-    def pick_i32(x):
-        return jnp.sum(jnp.where(hit3, x[:, None, :], 0), axis=2)
+def _pick_f32(hit3, x):
+    return jnp.sum(jnp.where(hit3, x[:, None, :], 0.0), axis=2)
 
-    opred_ref[:] = pick_i32(pred)[:, None, :]
-    olp_ref[:] = pick_f32(clp)[:, None, :]
-    ont_ref[:] = pick_i32(cnt)[:, None, :]
-    onu_ref[:] = pick_i32(cnu)[:, None, :]
-    ofin_ref[:] = pick_i32(cfin.astype(jnp.int32))[:, None, :]
-    obr_ref[:] = pick_i32(parent)[:, None, :]
+
+def _pick_i32(hit3, x):
+    return jnp.sum(jnp.where(hit3, x[:, None, :], 0), axis=2)
+
+
+def _v1_kernel(
+    h_ref, lp_ref, fin_ref, t_ref, u_ref, il_ref,
+    opred_ref, olp_ref, ont_ref, onu_ref, ofin_ref, obr_ref,
+):
+    # Refs are (BB, 1, X): the batch block rides the unconstrained leading
+    # dim so BB can be any divisor of B (Mosaic requires the last two block
+    # dims to be (8k, 128k) or full-size).
+    W_out = opred_ref.shape[2]
+    pred, clp, cnt, cnu, cfin, parent, hit3 = _v1_candidates_and_hit(
+        h_ref, lp_ref, fin_ref, t_ref, u_ref, il_ref, W_out
+    )
+    opred_ref[:] = _pick_i32(hit3, pred)[:, None, :]
+    olp_ref[:] = _pick_f32(hit3, clp)[:, None, :]
+    ont_ref[:] = _pick_i32(hit3, cnt)[:, None, :]
+    onu_ref[:] = _pick_i32(hit3, cnu)[:, None, :]
+    ofin_ref[:] = _pick_i32(hit3, cfin.astype(jnp.int32))[:, None, :]
+    obr_ref[:] = _pick_i32(hit3, parent)[:, None, :]
+
+
+def _v1_reorder_kernel(
+    h_ref, lp_ref, fin_ref, t_ref, u_ref, il_ref, state_ref,
+    opred_ref, olp_ref, ont_ref, onu_ref, ofin_ref, obr_ref, ostate_ref,
+):
+    """_v1_kernel + in-kernel parent-pointer state reorder.
+
+    state_ref (BB, W, F) f32: per-beam state rows (decoder carry | mel |
+    prev_mel | extra lanes). ostate_ref (BB, W_out, F): row i :=
+    state[branch[i]]. The reorder is W masked accumulations (branch is
+    already in VMEM, so the decode loop's take_along_axis gathers and
+    their HBM round-trip disappear); exact for finite values, with the
+    usual one-hot-sum caveat that a -0.0 lane returns as +0.0.
+    """
+    W_out = opred_ref.shape[2]
+    W = state_ref.shape[1]
+    pred, clp, cnt, cnu, cfin, parent, hit3 = _v1_candidates_and_hit(
+        h_ref, lp_ref, fin_ref, t_ref, u_ref, il_ref, W_out
+    )
+    branch = _pick_i32(hit3, parent)  # (B, W_out)
+    opred_ref[:] = _pick_i32(hit3, pred)[:, None, :]
+    olp_ref[:] = _pick_f32(hit3, clp)[:, None, :]
+    ont_ref[:] = _pick_i32(hit3, cnt)[:, None, :]
+    onu_ref[:] = _pick_i32(hit3, cnu)[:, None, :]
+    ofin_ref[:] = _pick_i32(hit3, cfin.astype(jnp.int32))[:, None, :]
+    obr_ref[:] = branch[:, None, :]
+
+    state = state_ref[:]  # (B, W, F)
+    acc = jnp.zeros(
+        (state.shape[0], W_out, state.shape[2]), jnp.float32
+    )
+    for w in range(W):
+        m = (branch == w).astype(jnp.int32)[:, :, None]  # (B, W_out, 1)
+        acc = acc + jnp.where(m == 1, state[:, w, :][:, None, :], 0.0)
+    ostate_ref[:] = acc
 
 
 def _select_sort_free(
@@ -247,6 +294,63 @@ def beam_search_step_batched(
     )
     pred, lp, nt, nu, fin, br = (x.reshape(B, W_out) for x in out)
     return pred, lp, nt, nu, fin != 0, br
+
+
+def beam_search_step_reorder(
+    h: jax.Array,
+    log_prob_history: jax.Array,
+    is_finished: jax.Array,
+    t: jax.Array,
+    u: jax.Array,
+    input_length: jax.Array,
+    state: jax.Array,
+    *,
+    max_beam_width: int | None = None,
+):
+    """Fused v1 step + parent-pointer reorder of per-beam state.
+
+    state: (B, W, F) f32 — anything the decode loop threads per beam
+    (decoder carry, mel frames, flags as f32 lanes). Returns the
+    beam_search_step_batched tuple plus state[branch] (B, W_out, F).
+    Equality vs step + take_along_axis: tests/test_beam_pallas.py.
+    """
+    B, W, _ = h.shape
+    W_out = W if max_beam_width is None else max_beam_width
+    F = state.shape[2]
+
+    C = 2 * W
+    rep = lambda x: jnp.repeat(x, 2, axis=1).reshape(B, 1, C)
+    bb = _batch_block(B, C, temps=45)
+    row = lambda width: pl.BlockSpec((bb, 1, width), lambda i: (i, 0, 0))
+    srow = lambda n_, width: pl.BlockSpec(
+        (bb, n_, width), lambda i: (i, 0, 0)
+    )
+    out = pl.pallas_call(
+        _v1_reorder_kernel,
+        grid=(B // bb,),
+        in_specs=[row(C)] * 5 + [row(1)] + [srow(W, F)],
+        out_specs=[row(W_out)] * 6 + [srow(W_out, F)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, W_out, F), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(
+        h.reshape(B, 1, C).astype(jnp.float32),
+        rep(log_prob_history.astype(jnp.float32)),
+        rep(is_finished.astype(jnp.int32)),
+        rep(t.astype(jnp.int32)),
+        rep(u.astype(jnp.int32)),
+        jnp.asarray(input_length, jnp.int32).reshape(B, 1, 1),
+        state.astype(jnp.float32),
+    )
+    pred, lp, nt, nu, fin, br = (x.reshape(B, W_out) for x in out[:6])
+    return pred, lp, nt, nu, fin != 0, br, out[6]
 
 
 def _make_v2_kernel(

@@ -222,3 +222,33 @@ def test_v2_pipeline_equal():
         np.testing.assert_array_equal(
             np.asarray(a[k]), np.asarray(b[k]), err_msg=k
         )
+
+
+def test_step_reorder_matches_compose():
+    """Fused step+reorder == step then take_along_axis."""
+    B, W, T, F = 6, 4, 15, 13
+    il = jnp.full((B,), T, jnp.int32)
+    for trial in range(10):
+        h, lp, fin, t, u = _rand_case(trial, B, W, T)
+        r = np.random.default_rng(trial + 999)
+        state = jnp.asarray(r.normal(0, 1, (B, W, F)), jnp.float32)
+        a = beam_v1.beam_search_decode_batched(
+            jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+            jnp.asarray(t), jnp.asarray(u), il,
+        )
+        a_state = jnp.take_along_axis(
+            state, a[5][..., None].astype(jnp.int32), axis=1
+        )
+        b = beam_pallas.beam_search_step_reorder(
+            jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+            jnp.asarray(t), jnp.asarray(u), il, state,
+        )
+        for k, xa, xb in zip(NAMES, a, b[:6]):
+            np.testing.assert_array_equal(
+                np.asarray(xa), np.asarray(xb),
+                err_msg=f"trial {trial} {k}",
+            )
+        np.testing.assert_array_equal(
+            np.asarray(a_state), np.asarray(b[6]),
+            err_msg=f"trial {trial} state",
+        )
