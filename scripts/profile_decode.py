@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ssnt_tts_tpu.models import SSNTModel
-from ssnt_tts_tpu.ops import beam_v1
+from ssnt_tts_tpu.ops import beam_pallas, beam_v1
 from ssnt_tts_tpu.parallel import decode as decode_lib
 from ssnt_tts_tpu.parallel import train as train_lib
 from ssnt_tts_tpu.utils.config import ModelConfig, TrainConfig
@@ -73,8 +73,13 @@ def report(name, dt):
 
 
 # ---- full decode step (the scan body of beam_decode, verbatim carry) ----
-beam_step_fn = decode_lib._v1_step_fn(None)  # pallas on TPU, XLA elsewhere
-USE_PALLAS = jax.default_backend() == "tpu"
+# Single source of truth for the dispatch rule (ADVICE r3).
+USE_PALLAS = decode_lib.resolve_use_pallas(None)
+beam_step_fn = (
+    beam_pallas.beam_search_step_batched
+    if USE_PALLAS
+    else beam_v1.beam_search_decode_batched
+)
 
 
 def full_step(carry):

@@ -68,10 +68,15 @@ class ARDecoderCell(nn.Module):
 
 class TransitionJoint(nn.Module):
     """Factorized emit/shift logits; rank R keeps the bilinear interaction
-    MXU-shaped. Normalized per lattice point."""
+    MXU-shaped. Normalized per lattice point.
+
+    lattice_dtype is the storage dtype of the emitted (U, B, T) lattice
+    (normalization always happens in f32): bf16 halves the lattice HBM
+    traffic into the loss kernels (ModelConfig.lattice_dtype)."""
 
     rank: int = 64
     dtype: Any = jnp.bfloat16
+    lattice_dtype: Any = jnp.float32
 
     def setup(self):
         self.enc_proj = nn.Dense(2 * self.rank, dtype=self.dtype)
@@ -105,7 +110,8 @@ class TransitionJoint(nn.Module):
         )
         le, ls = logits[..., 0], logits[..., 1]
         norm = jnp.logaddexp(le, ls)
-        return le - norm, ls - norm
+        out_dtype = jnp.dtype(self.lattice_dtype)
+        return (le - norm).astype(out_dtype), (ls - norm).astype(out_dtype)
 
     def step(self, enc_t, dec_state) -> jax.Array:
         """Per-step decode scores: enc_t (B, W, H) gathered at each beam's
@@ -126,6 +132,7 @@ class FrameJoint(nn.Module):
 
     mel_dim: int
     dtype: Any = jnp.bfloat16
+    lattice_dtype: Any = jnp.float32
     log_sigma_init: float = 0.0
 
     def setup(self):
@@ -151,7 +158,8 @@ class FrameJoint(nn.Module):
         const = -0.5 * M * (
             jnp.log(2.0 * jnp.pi) + 2.0 * self.log_sigma
         )
-        return -0.5 * inv_var * sq_err + const
+        out = -0.5 * inv_var * sq_err + const
+        return out.astype(jnp.dtype(self.lattice_dtype))
 
     def predict(self, enc_t, dec_state) -> jax.Array:
         """Decode-time mel frame: (B, W, H) x2 -> (B, W, M)."""

@@ -42,9 +42,13 @@ from ssnt_tts_tpu.ops import lattice, lattice_pallas
 from ssnt_tts_tpu.utils.config import ModelConfig
 
 
-def _lattice_loss_fn(impl: str):
+def _lattice_loss_fn(impl: str, lattice_dtype: str = "float32"):
     """Loss impl in the framework-native time-major (U, B, T) layout (the
-    joints emit it directly; no full-lattice transposes anywhere)."""
+    joints emit it directly; no full-lattice transposes anywhere).
+
+    lattice_dtype="bfloat16" + the Pallas backend selects the bf16-storage
+    kernel variant (26 B/cell; ModelConfig.lattice_dtype docs). The XLA
+    backend ignores it (canonicalization upcasts to f32)."""
     if impl == "pallas":
         fn = lattice_pallas.ssnt_loss_pallas
     elif impl == "xla":
@@ -55,7 +59,13 @@ def _lattice_loss_fn(impl: str):
         fn = lattice_pallas.ssnt_loss_pallas
     else:
         fn = lattice.ssnt_loss
-    return functools.partial(fn, layout="ubt")
+    kwargs = {"layout": "ubt"}
+    if (
+        fn is lattice_pallas.ssnt_loss_pallas
+        and jnp.dtype(lattice_dtype) == jnp.bfloat16
+    ):
+        kwargs["variant"] = "bf16"
+    return functools.partial(fn, **kwargs)
 
 
 class SSNTModel(nn.Module):
@@ -71,9 +81,14 @@ class SSNTModel(nn.Module):
             num_heads=cfg.encoder_heads,
             dtype=dtype,
         )
+        lattice_dtype = jnp.dtype(cfg.lattice_dtype)
         self.ar_cell = ARDecoderCell(cfg.decoder_dim, dtype=dtype)
-        self.transition = TransitionJoint(rank=cfg.joint_rank, dtype=dtype)
-        self.frame = FrameJoint(mel_dim=cfg.mel_dim, dtype=dtype)
+        self.transition = TransitionJoint(
+            rank=cfg.joint_rank, dtype=dtype, lattice_dtype=lattice_dtype
+        )
+        self.frame = FrameJoint(
+            mel_dim=cfg.mel_dim, dtype=dtype, lattice_dtype=lattice_dtype
+        )
         self.duration_head = DurationHead(
             cfg.duration_class_size, cfg.encoder_dim, dtype=dtype
         )
@@ -130,7 +145,9 @@ class SSNTModel(nn.Module):
         enc = self.encode(tokens, input_length)
         dec = self.decoder_states(mel_target)
         le, ls, lf = self.lattice_quantities(enc, dec, mel_target)
-        loss_fn = _lattice_loss_fn(self.config.lattice_impl)
+        loss_fn = _lattice_loss_fn(
+            self.config.lattice_impl, self.config.lattice_dtype
+        )
         return loss_fn(le, ls, lf, input_length, output_length)
 
     def loss(self, tokens, mel_target, input_length=None, output_length=None,
@@ -145,7 +162,9 @@ class SSNTModel(nn.Module):
         enc = self.encode(tokens, input_length)
         dec = self.decoder_states(mel_target)
         le, ls, lf = self.lattice_quantities(enc, dec, mel_target)
-        loss_fn = _lattice_loss_fn(self.config.lattice_impl)
+        loss_fn = _lattice_loss_fn(
+            self.config.lattice_impl, self.config.lattice_dtype
+        )
         nll = loss_fn(le, ls, lf, input_length, output_length)
         if output_length is None:
             frames = jnp.full((B,), U, jnp.float32)

@@ -34,7 +34,14 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-_INTERPRET = False  # flipped by tests on the CPU backend
+_INTERPRET = False  # forced on by tests on the CPU backend
+
+
+def _interpret() -> bool:
+    """Compile Mosaic on TPU; interpret everywhere else. Off-TPU callers
+    that force use_pallas=True get a correct (slow) interpreted kernel
+    instead of an obscure Mosaic lowering error (ADVICE r3)."""
+    return _INTERPRET or jax.default_backend() != "tpu"
 
 # The pairwise-mask algebra materializes (BB, C, C)-shaped temporaries on
 # Mosaic's VMEM stack — i1 masks cost a full vreg lane each (measured:
@@ -92,9 +99,10 @@ def _v1_candidates_and_hit(
 
     # Pairwise stable order + adjacency dedup (beam_common.select_beams).
     # The four int eq_ignore_parent fields pack into ONE injective i32 key
-    # (2D op) so the O(C^2) space sees a single compare. Bounds: this holds
-    # for 0 <= next_u < 16384 and 0 <= next_t < 16384 (key stays within
-    # i32) — far above any TTS shape this framework targets.
+    # (2D op) so the O(C^2) space sees a single compare. Bounds: needs
+    # 0 <= next_u < 16384 plus |key| within i32 (next_t may legitimately
+    # be negative on padding lanes; the packing stays injective for signed
+    # next_t) — far above any TTS shape this framework targets.
     ekey = ((cnt * 16384 + cnu) * 2 + pred) * 2 + cfin.astype(jnp.int32)
     hit3, _n = _select_sort_free(clp, valid, [ekey], gen, W_out)
     return pred, clp, cnt, cnu, cfin, parent, hit3
@@ -283,7 +291,7 @@ def beam_search_step_batched(
             jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
         ],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(
         h.reshape(B, 1, C).astype(jnp.float32),
         rep(log_prob_history.astype(jnp.float32)),
@@ -339,7 +347,7 @@ def beam_search_step_reorder(
             jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
             jax.ShapeDtypeStruct((B, W_out, F), jnp.float32),
         ],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(
         h.reshape(B, 1, C).astype(jnp.float32),
         rep(log_prob_history.astype(jnp.float32)),
@@ -492,6 +500,12 @@ def v2_beam_search_decode(
 
     cfg = config if config is not None else V2BeamConfig()
     B, W, D = h.shape
+    if D > 64:
+        # Same eq-key packing bound as ops.beam_v2 (tot * 64 + pred);
+        # D is static so fail loudly instead of silently merging beams.
+        raise ValueError(
+            f"duration_class_size {D} > 64 breaks eq-key packing injectivity"
+        )
     W_out = W if max_beam_width is None else max_beam_width
     C = W * D
 
@@ -528,7 +542,7 @@ def v2_beam_search_decode(
             jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(
         h.reshape(B, 1, C).astype(jnp.float32),
         rep(log_prob_history.astype(jnp.float32)),

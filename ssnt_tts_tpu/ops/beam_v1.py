@@ -97,9 +97,12 @@ def beam_search_step(
     }
     valid = interleave_candidates([emit_valid, shift_valid])
 
-    # Pack the four int eq fields into ONE injective i32 key (bounds:
-    # 0 <= next_u < 16384, 0 <= next_t < 16384 — far above any TTS shape);
-    # see beam_common.select_beams eq_packed.
+    # Pack the four int eq fields into ONE injective i32 key. Injectivity
+    # needs 0 <= next_u < 16384 plus |key| within i32; next_t itself may
+    # legitimately be NEGATIVE (inactive padding candidates carry the
+    # caller's t through unchanged) — the packing stays injective for
+    # signed next_t, same as the v2 comment's phrasing. See
+    # beam_common.select_beams eq_packed.
     ekey = (
         (fields["next_t"] * 16384 + fields["next_u"]) * 2
         + fields["prediction"]

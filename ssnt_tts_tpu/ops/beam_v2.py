@@ -82,6 +82,13 @@ def beam_search_step(
       [, num_survivors scalar i32 if return_num_survivors].
     """
     W, D = h.shape
+    if D > 64:
+        # The packed dedup key multiplies total_duration by 64 (eq-key
+        # packing below); more classes would alias distinct hypotheses and
+        # silently merge them. D is static, so fail loudly here (ADVICE r3).
+        raise ValueError(
+            f"duration_class_size {D} > 64 breaks eq-key packing injectivity"
+        )
     if max_beam_width is None:
         max_beam_width = W
     cfg = config if config is not None else _DEFAULT_CONFIG

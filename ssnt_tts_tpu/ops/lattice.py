@@ -161,11 +161,14 @@ def ssnt_loss_reference(log_emit, log_shift, log_frame=None,
 
 
 def _canonicalize(log_emit, log_shift, log_frame, input_length,
-                  output_length, layout: str = "btu"):
+                  output_length, layout: str = "btu",
+                  dtype=jnp.float32):
     """Shared arg canonicalization. layout "btu": (B, T, U) inputs (the
     reference op layout); "ubt": time-major (U, B, T) native-kernel layout
     (no transposes anywhere in the loss path — the model's joints emit it
-    directly)."""
+    directly). dtype is the lattice storage dtype the caller's kernels
+    consume: f32 for the exact-contract paths, bf16 for the Pallas
+    bf16-storage variant (inputs already bf16 pass through un-cast)."""
     if layout == "btu":
         B, T, U = log_emit.shape
     elif layout == "ubt":
@@ -179,9 +182,9 @@ def _canonicalize(log_emit, log_shift, log_frame, input_length,
     if output_length is None:
         output_length = jnp.full((B,), U, jnp.int32)
     return (
-        log_emit.astype(jnp.float32),
-        log_shift.astype(jnp.float32),
-        log_frame.astype(jnp.float32),
+        log_emit.astype(dtype),
+        log_shift.astype(dtype),
+        log_frame.astype(dtype),
         jnp.asarray(input_length, jnp.int32),
         jnp.asarray(output_length, jnp.int32),
     )

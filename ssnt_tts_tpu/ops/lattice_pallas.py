@@ -36,7 +36,14 @@ from ssnt_tts_tpu.ops.lattice import (
     _gather_logz,
 )
 
-_INTERPRET = False  # flipped by tests on the CPU backend
+_INTERPRET = False  # forced on by tests on the CPU backend
+
+
+def _interpret() -> bool:
+    """Compile Mosaic on TPU; interpret everywhere else, so forcing
+    lattice_impl="pallas" off-TPU runs correctly (slow) instead of dying
+    in Mosaic lowering (ADVICE r3 applied to this module too)."""
+    return _INTERPRET or jax.default_backend() != "tpu"
 
 
 def _logaddexp(a, b):
@@ -149,7 +156,7 @@ def forward_alphas_pallas(le, ls, lf, *, chunk: int = 16):
             pltpu.VMEM((B, T), jnp.float32),
             pltpu.VMEM((B, T), jnp.float32),
         ],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(le, ls, lf)
 
 
@@ -270,7 +277,7 @@ def forward_alphas_pallas_banded(le, ls, lf, *, chunk: int = 16,
             pltpu.VMEM((B, T), jnp.float32),
             pltpu.VMEM((B, T), jnp.float32),
         ],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(le, ls, lf)
 
 
@@ -328,7 +335,7 @@ def backward_betas_pallas(le, ls, lf, input_length, output_length,
             pltpu.VMEM((B, T), jnp.float32),
             pltpu.VMEM((B, T), jnp.float32),
         ],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(
         input_length.reshape(B, 1).astype(jnp.int32),
         output_length.reshape(B, 1).astype(jnp.int32),
@@ -468,7 +475,7 @@ def fused_alphas_betas_pallas_exp(le, ls, lf, input_length, output_length,
             pltpu.VMEM((B, 1), jnp.float32),  # N
             pltpu.VMEM((B, T), jnp.float32),  # exp(lf) next
         ],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(
         input_length.reshape(B, 1).astype(jnp.int32),
         output_length.reshape(B, 1).astype(jnp.int32),
@@ -576,7 +583,7 @@ def backward_grads_pallas(le, ls, lf, alphas, input_length, output_length,
             pltpu.VMEM((B, T), jnp.float32),
             pltpu.VMEM((B, T), jnp.float32),
         ],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(
         input_length.reshape(B, 1).astype(jnp.int32),
         output_length.reshape(B, 1).astype(jnp.int32),
@@ -706,7 +713,7 @@ def backward_grads_pallas_banded(le, ls, lf, alphas, input_length,
             pltpu.VMEM((B, T), jnp.float32),
             pltpu.VMEM((B, T), jnp.float32),
         ],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(
         input_length.reshape(B, 1).astype(jnp.int32),
         output_length.reshape(B, 1).astype(jnp.int32),
@@ -803,7 +810,7 @@ def fused_alphas_betas_pallas(le, ls, lf, input_length, output_length,
             pltpu.VMEM((B, T), jnp.float32),
             pltpu.VMEM((B, T), jnp.float32),
         ],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(
         input_length.reshape(B, 1).astype(jnp.int32),
         output_length.reshape(B, 1).astype(jnp.int32),
@@ -1062,8 +1069,18 @@ def ssnt_loss_pallas(log_emit, log_shift, log_frame=None, input_length=None,
     layout="ubt": time-major (U, B, T) inputs consumed (and grads returned)
     directly — the framework-native layout the model's joints emit.
     """
+    # bf16 variant: halved lattice HBM traffic — le/ls/lf stored bf16
+    # (kernels compute f32 in VMEM; alphas stay f32; grads return bf16 and
+    # the cast VJP restores the caller's dtype when it differs). With
+    # ModelConfig.lattice_dtype="bfloat16" the producing joints emit bf16
+    # directly, so no cast exists anywhere on the path. Accuracy: log-prob
+    # inputs carry ~2^-8 relative noise that accumulates ~sqrt(U) along
+    # paths — loss/grads agree with f32 to ~1e-2 relative
+    # (tests/test_lattice_pallas.py sets the contract), the standard
+    # mixed-precision training trade.
+    store_dtype = jnp.bfloat16 if variant == "bf16" else jnp.float32
     args = _canonicalize(log_emit, log_shift, log_frame, input_length,
-                         output_length, layout)
+                         output_length, layout, dtype=store_dtype)
     if layout == "btu":
         args = (
             jnp.transpose(args[0], (2, 0, 1)),
@@ -1074,18 +1091,4 @@ def ssnt_loss_pallas(log_emit, log_shift, log_frame=None, input_length=None,
         from ssnt_tts_tpu.ops import lattice_scan
 
         return lattice_scan.ssnt_loss_scan(*args[:5], layout="ubt")
-    if variant == "bf16":
-        # Halved lattice HBM traffic: le/ls/lf stored bf16 (kernels compute
-        # f32 in VMEM; alphas stay f32; grads return bf16 and the cast VJP
-        # restores the caller's dtype). In a real train step the producing
-        # joints emit bf16 directly, fusing this cast away. Accuracy: log-
-        # prob inputs carry ~2^-8 relative noise that accumulates ~sqrt(U)
-        # along paths — loss/grads agree with f32 to ~1e-2 relative
-        # (tests/test_lattice_pallas.py sets the contract), the standard
-        # mixed-precision training trade.
-        args = (
-            args[0].astype(jnp.bfloat16),
-            args[1].astype(jnp.bfloat16),
-            args[2].astype(jnp.bfloat16),
-        ) + args[3:]
     return _core(*args, chunk, variant)

@@ -38,6 +38,10 @@ def beam_search_step(
     matching the TF op (tone_latent_beam_search_decode_op.cc:23-38).
     """
     W, K = h.shape
+    # ekey2 below is prediction * 2 + finished; injectivity needs the
+    # product to stay inside i32 (ADVICE r3 — static, so check loudly).
+    if K * 2 >= 2**31:
+        raise ValueError(f"tone_class_size {K} overflows eq-key packing")
     if max_beam_width is None:
         max_beam_width = W
 

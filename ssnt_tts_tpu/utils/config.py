@@ -67,6 +67,14 @@ class ModelConfig:
     # Lattice loss backend: "auto" uses the Pallas kernels on TPU and the
     # XLA scan elsewhere; "xla"/"pallas" force one.
     lattice_impl: str = "auto"
+    # Storage dtype of the (U, B, T) lattice quantities the joints emit.
+    # "float32" (default): exact-contract lattice loss. "bfloat16": the
+    # joints emit bf16 lattices and the Pallas loss runs its 26 B/cell
+    # bf16-storage variant (f32 compute in VMEM) — the mixed-precision
+    # training path past the f32 HBM roofline; loss/grads track f32 to
+    # ~1% relative (tests/test_model.py::test_bf16_lattice_training).
+    # The XLA backend upcasts bf16 inputs to f32 (correct, no speedup).
+    lattice_dtype: str = "float32"
     # Frames contributed by each duration class (v2 alignment space,
     # src/v2.rs DecodingTable). Must have duration_class_size entries.
     duration_table: Tuple[int, ...] = tuple(range(10))

