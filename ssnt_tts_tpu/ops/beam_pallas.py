@@ -33,6 +33,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = False  # forced on by tests on the CPU backend
 
@@ -255,6 +256,114 @@ def _select_sort_free(
     return hit3, n
 
 
+def _select_sort_free_tiled(
+    clp, valid, eq_keys, gen, W_out, diag_mask=None, jc: int = 8,
+):
+    """_select_sort_free with O(B*jc*C) temporaries instead of O(B*C*C).
+
+    At C = W*D ~ 80 the one-shot pairwise algebra materializes ~70
+    (BB, C, C) temporaries on Mosaic's VMEM stack (~2.8 MB per batch row),
+    capping the grid block at 4 rows and losing to XLA on spill traffic
+    (docs/DECODE_PROFILE.md round 3). This version computes the same three
+    j-reductions — rank, dup, survivor-rank — with `lax.fori_loop`s whose
+    bodies touch one (B, jc, C) slab of the pairwise space at a time, so
+    the live set is a handful of slabs and the WHOLE batch fits one grid
+    block. The j-slab is peeled off by rotating full lane-vectors jc lanes
+    per iteration (pltpu.roll; static shift) and slicing lanes [0:jc] —
+    no dynamic lane addressing, which Mosaic lowers poorly.
+
+    Semantics identical to _select_sort_free (same ranks, dedup, padding,
+    empty-beam sentinel, diagonal re-injection); tests assert equality in
+    interpret mode and scripts/probe_beam_pallas.py on hardware.
+    """
+    B, C = clp.shape
+    assert C % jc == 0, (C, jc)
+    nblk = C // jc
+    v32 = valid.astype(jnp.int32)
+    lpi = clp[:, None, :]
+    gi = gen[:, None, :]
+    roll = lambda x: pltpu.roll(x, C - jc, axis=1)
+
+    def before_blk(lp_r, v_r, k):
+        """(B, jc, C) i1: candidate j (slab row) strictly before i (lane)."""
+        lpj = lp_r[:, :jc][:, :, None]
+        gj = k * jc + jax.lax.broadcasted_iota(jnp.int32, (1, jc, 1), 1)
+        vj = v_r[:, :jc][:, :, None] == 1
+        return vj & ((lpj > lpi) | ((lpj == lpi) & (gj < gi)))
+
+    # Phase 1: rank_i = #(valid j strictly before i).
+    def p1(k, carry):
+        lp_r, v_r, acc = carry
+        acc = acc + jnp.sum(
+            before_blk(lp_r, v_r, k).astype(jnp.int32), axis=1
+        )
+        return roll(lp_r), roll(v_r), acc
+
+    _, _, rank = jax.lax.fori_loop(
+        0, nblk, p1, (clp, v32, jnp.zeros((B, C), jnp.int32))
+    )
+
+    # Phase 2: dup_i = exists j equal (eq_ignore_parent) at rank_i - 1.
+    def p2(k, carry):
+        lp_r, v_r, key_rs, rank_r, acc = carry
+        lpj = lp_r[:, :jc][:, :, None]
+        vj = v_r[:, :jc][:, :, None] == 1
+        eq = (v32[:, None, :] == 1) & vj & (lpi == lpj)
+        for a, a_r in zip(eq_keys, key_rs):
+            eq &= a[:, None, :] == a_r[:, :jc][:, :, None]
+        hit = eq & (rank_r[:, :jc][:, :, None] == rank[:, None, :] - 1)
+        acc = acc + jnp.sum(hit.astype(jnp.int32), axis=1)
+        return (
+            roll(lp_r), roll(v_r), tuple(roll(a) for a in key_rs),
+            roll(rank_r), acc,
+        )
+
+    _, _, _, _, dupc = jax.lax.fori_loop(
+        0, nblk, p2,
+        (clp, v32, tuple(eq_keys), rank, jnp.zeros((B, C), jnp.int32)),
+    )
+    keep = valid & ~(dupc > 0)
+    k32 = keep.astype(jnp.int32)
+    n = jnp.sum(k32, axis=1, keepdims=True)
+
+    # Phase 3: krank_i = #(surviving j strictly before i).
+    def p3(k, carry):
+        lp_r, v_r, k_r, acc = carry
+        hit = before_blk(lp_r, v_r, k) & (k_r[:, :jc][:, :, None] == 1)
+        acc = acc + jnp.sum(hit.astype(jnp.int32), axis=1)
+        return roll(lp_r), roll(v_r), roll(k_r), acc
+
+    _, _, _, krank = jax.lax.fori_loop(
+        0, nblk, p3, (clp, v32, k32, jnp.zeros((B, C), jnp.int32))
+    )
+
+    # Tail identical to _select_sort_free (all (B, C)/(B, W_out, C) sized).
+    j = jax.lax.broadcasted_iota(jnp.int32, (B, W_out), 1)
+    n_safe = jnp.maximum(n, 1)
+    want = jnp.where(j < n, j % n_safe, (j - n) % n_safe)
+    want = jnp.where(n == 0, -1, want)
+    key = krank + (1 - k32) * (C + 1)
+    key = jnp.where((n == 0) & (gen == 0), -1, key)
+
+    if diag_mask is not None:
+        dk = keep & diag_mask
+        dk32 = dk.astype(jnp.int32)
+        any_diag = jnp.sum(dk32, axis=1, keepdims=True) > 0
+        rmin = jnp.min(jnp.where(dk, rank, C), axis=1, keepdims=True)
+        first = dk & (rank == rmin)
+        want = jnp.where(
+            (j == W_out - 1) & any_diag & (n > 0), -2, want
+        )
+        key2 = jnp.where(first & any_diag & (n > 0), -2, key)
+        hit3 = (key[:, None, :] == want[:, :, None]) | (
+            (key2[:, None, :] == want[:, :, None])
+        )
+        return hit3, n
+
+    hit3 = key[:, None, :] == want[:, :, None]
+    return hit3, n
+
+
 def beam_search_step_batched(
     h: jax.Array,
     log_prob_history: jax.Array,
@@ -454,9 +563,20 @@ def _make_v2_kernel(
         # Bounds: 0 <= nu < 16384, |nt| < 32768, tot < 2**17, D <= 64.
         ekey1 = nt * 16384 + nu
         ekey2 = (tot * 64 + pred) * 2 + cfin.astype(jnp.int32)
-        hit3, n = _select_sort_free(
-            lp, valid, [ekey1, ekey2], gen, W_out, diag_mask=diag_mask,
-        )
+        if C % 8 == 0:
+            # j-slab tiled selection: O(B*8*C) live temps instead of
+            # O(B*C*C), so the whole batch fits one grid block at C ~ 80
+            # (the one-shot algebra capped blocks at 4 rows and lost to
+            # XLA on VMEM-stack spill; docs/DECODE_PROFILE.md).
+            hit3, n = _select_sort_free_tiled(
+                lp, valid, [ekey1, ekey2], gen, W_out,
+                diag_mask=diag_mask,
+            )
+        else:
+            hit3, n = _select_sort_free(
+                lp, valid, [ekey1, ekey2], gen, W_out,
+                diag_mask=diag_mask,
+            )
 
         def pick_f32(x):
             return jnp.sum(jnp.where(hit3, x[:, None, :], 0.0), axis=2)
@@ -521,7 +641,10 @@ def v2_beam_search_decode(
         float(cfg.diagonal_window[0]), float(cfg.diagonal_window[1]),
     )
     rep = lambda x: jnp.repeat(x, D, axis=1).reshape(B, 1, C)
-    bb = _batch_block(B, C, temps=70)
+    # Tiled selection keeps ~16 live (BB, 8, C) slabs (+ (BB, C) rows)
+    # instead of ~70 (BB, C, C) pairwise masks; size the batch block to
+    # the slab height (8), not C.
+    bb = _batch_block(B, 8 if C % 8 == 0 else C, temps=16)
     row = lambda width: pl.BlockSpec((bb, 1, width), lambda i: (i, 0, 0))
     out = pl.pallas_call(
         kernel,

@@ -59,6 +59,7 @@ def beam_search_step(
     test_mode: bool,
     max_beam_width: int | None = None,
     return_num_survivors: bool = False,
+    return_diagnostics: bool = False,
     config: V2BeamConfig | None = None,
 ):
     """One v2 beam step for a single utterance.
@@ -190,6 +191,29 @@ def beam_search_step(
         out["total_duration"],
         out["parent_branch"],
     )
+    if return_diagnostics:
+        # Prune attribution (VERDICT r3 #4, empty-beam triage): per
+        # constraint, how many candidates of ACTIVE beams would survive if
+        # exactly that one constraint were dropped. When a step empties
+        # the beam (the reference's panic at src/v2.rs:292), these say
+        # which prune was binding. Cheap one-hot sums; zero in test_mode
+        # (no prunes active).
+        act = active[:, None]
+        no_ov = (~overrun)[:, None]
+        sk = skip_ok[None, :]
+        diags = jnp.stack(
+            [
+                jnp.sum((act & sk & no_ov & final_len_ok & ~band_ok)
+                        .astype(jnp.int32)),
+                jnp.sum((act & sk & band_ok & final_len_ok & ~no_ov)
+                        .astype(jnp.int32)),
+                jnp.sum((act & sk & band_ok & no_ov & ~final_len_ok)
+                        .astype(jnp.int32)),
+                jnp.sum((act & ~sk & band_ok & no_ov & final_len_ok)
+                        .astype(jnp.int32)),
+            ]
+        )  # [band, overrun, exact_final, zero_skip]
+        result = result + (diags,)
     if return_num_survivors:
         return result + (out["num_survivors"],)
     return result
@@ -212,6 +236,7 @@ def beam_search_decode(
     test_mode: bool = False,
     config: V2BeamConfig | None = None,
     return_num_survivors: bool = False,
+    return_diagnostics: bool = False,
 ):
     """Batched v2 step, reference Python API parity
     (ssnt_tts_tensorflow/__init__.py:33-73).
@@ -219,6 +244,11 @@ def beam_search_decode(
     h: (B, W, D); beam state (B, W); duration_table (D,);
     input_length/output_length: (B,). In test_mode output_length is zeroed
     like the reference wrapper (__init__.py:47).
+
+    return_diagnostics appends a (B, 4) i32 prune-attribution block
+    [band, overrun, exact_final, zero_skip] (counts of active-beam
+    candidates that each constraint alone is blocking) before the
+    num_survivors output — the empty-beam triage instrumentation.
     """
     B, W, D = h.shape
     if beam_width is not None and beam_width != W:
@@ -237,6 +267,7 @@ def beam_search_decode(
         test_mode=test_mode,
         config=config,
         return_num_survivors=return_num_survivors,
+        return_diagnostics=return_diagnostics,
     )
     return jax.vmap(step)(
         h, log_prob_history, is_finished, total_duration, t, u,

@@ -818,6 +818,178 @@ def fused_alphas_betas_pallas(le, ls, lf, input_length, output_length,
     )
 
 
+# ------------------------------------- packed fused bidirectional kernel
+#
+# The (B, T) column of the headline shape (B=32, T=80) occupies 4
+# lane-padded f32 VREG rows of which 37.5% are dead lanes (T=80 of 128).
+# Since the bidirectional kernel is VPU-ISSUE-bound (measured: wall time
+# is flat in chunk size and ~2x the pure-bytes time; scripts/probe_r4b.py),
+# dead lanes are directly wasted wall-clock. This variant flattens each
+# column to (B*T,) laid out as (B*T/128, 128) — for 32x80 that is (20, 128),
+# 2.5 data VREG-rows padded to 3, a 25% issue cut. The t-shifts become a
+# global flat shift by one with (a) a row-carry lane (two pltpu.rolls + one
+# select) and (b) a precomputed t==0 / t==T-1 boundary mask, since
+# flat = b*T + t makes t+-1 adjacent except at example boundaries.
+#
+# Two more op-golf changes vs _bidir_kernel (both bit-exact):
+#   - forward init by virtual carry (alpha_{-1} = onehot(t==0) with
+#     le_prev = 0, ls_prev = NEG) instead of a per-column select — NEG
+#     arithmetic makes the uniform recursion reproduce
+#     where(t == 0, lf_0, NEG) exactly (same trick as the banded kernels);
+#   - logaddexp via (max, min): m + log1p(exp(n - m)) with n = min — one
+#     VPU op fewer than the abs/negate form, and n - m == -|a - b| exactly.
+#
+# Per-example ragged masks arrive as packed (rows, 128) i32 inputs
+# (precomputed once per call in XLA — in_len/out_len vary per b, and an
+# in-kernel gather of lengths by b = flat // T would lower poorly).
+
+
+def _pack_shape(B: int, T: int):
+    n = B * T
+    if n % 128:
+        return None
+    return n // 128
+
+
+def _packed_consts(B, T, input_length, output_length):
+    """Packed (rows, 128) i32 helper arrays for the packed kernel."""
+    rows = _pack_shape(B, T)
+    p = jnp.arange(rows * 128, dtype=jnp.int32)
+    t_ids = (p % T).reshape(rows, 128)
+    b_ids = (p // T).reshape(rows, 128)
+    in_len = jnp.asarray(input_length, jnp.int32)[b_ids]  # (rows, 128)
+    out_len = jnp.asarray(output_length, jnp.int32)[b_ids]
+    is_last_t = (t_ids == in_len - 1).astype(jnp.int32)
+    return t_ids, is_last_t, out_len
+
+
+def _bidir_kernel_packed(tid_ref, last_t_ref, ol_ref,
+                         le_f_ref, ls_f_ref, lf_f_ref,
+                         le_b_ref, ls_b_ref, lf_b_ref,
+                         alpha_out_ref, beta_out_ref,
+                         alpha_s, le_s, ls_s, beta_s, lf_s, *,
+                         chunk, t_cols):
+    """_bidir_kernel on packed (rows, 128) columns. tid_ref: i32 global t
+    id per flat position; last_t_ref: i32 mask of t == in_len-1; ol_ref:
+    i32 per-cell output_length. t_cols = T (static): the flat period."""
+    R = alpha_s.shape[0]
+    block_id = pl.program_id(0)
+    nblocks = pl.num_programs(0)
+    t0 = tid_ref[:] == 0
+    tlast = tid_ref[:] == t_cols - 1
+    is_last_t = last_t_ref[:] == 1
+    out_len = ol_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    lane0 = lane == 0
+    lane127 = lane == 127
+
+    def shift_down(x):
+        """flat p -> p-1 (t-1); t == 0 gets NEG. Full-tensor row roll: a
+        narrowed (R, 1) carry column measured 1.6x SLOWER (the (R, 1)
+        broadcast inside the select relayouts; lane/sublane rolls of the
+        full tile are cheap) — scripts/probe_pack.py."""
+        xr = pltpu.roll(x, 1, axis=0)  # rows down: [r] <- [r-1]
+        base = jnp.where(lane127, xr, x)
+        rolled = pltpu.roll(base, 1, axis=1)
+        return jnp.where(t0, NEG, rolled)
+
+    def shift_up(x):
+        """flat p -> p+1 (t+1); t == T-1 gets NEG."""
+        xr = pltpu.roll(x, R - 1, axis=0)  # rows up: [r] <- [r+1]
+        base = jnp.where(lane0, xr, x)
+        rolled = pltpu.roll(base, 127, axis=1)
+        return jnp.where(tlast, NEG, rolled)
+
+    def lae(a, b):
+        m = jnp.maximum(a, b)
+        n = jnp.minimum(a, b)
+        return m + jnp.log1p(jnp.exp(n - m))
+
+    @pl.when(block_id == 0)
+    def _():
+        # Virtual forward carry (see block comment): alpha_{-1} = onehot,
+        # le_prev = 0, ls_prev = NEG reproduce the u = 0 init exactly.
+        alpha_s[:] = jnp.where(t0, 0.0, NEG)
+        le_s[:] = jnp.zeros((R, 128))
+        ls_s[:] = jnp.full((R, 128), NEG)
+        beta_s[:] = jnp.full((R, 128), NEG)
+        lf_s[:] = jnp.full((R, 128), NEG)
+
+    alpha = alpha_s[:]
+    le_prev = le_s[:]
+    ls_prev = ls_s[:]
+    beta = beta_s[:]
+    lf_next = lf_s[:]
+    base_u_b = (nblocks - 1 - block_id) * chunk
+    for j in range(chunk):
+        jb = chunk - 1 - j
+        # --- forward column ---
+        stay = alpha + le_prev
+        moved = shift_down(alpha + ls_prev)
+        alpha = lf_f_ref[j] + lae(stay, moved)
+        alpha_out_ref[j] = alpha
+        le_prev = le_f_ref[j]
+        ls_prev = ls_f_ref[j]
+        # --- backward column ---
+        le_b = le_b_ref[jb]
+        cont = lf_next + beta
+        rec_b = lae(le_b + cont, ls_b_ref[jb] + shift_up(cont))
+        init_b = jnp.where(is_last_t, le_b, NEG)
+        beta = jnp.where(base_u_b + jb == out_len - 1, init_b, rec_b)
+        beta_out_ref[jb] = beta
+        lf_next = lf_b_ref[jb]
+    alpha_s[:] = alpha
+    le_s[:] = le_prev
+    ls_s[:] = ls_prev
+    beta_s[:] = beta
+    lf_s[:] = lf_next
+
+
+def fused_alphas_betas_pallas_packed(le, ls, lf, input_length,
+                                     output_length, *, chunk: int = 16):
+    """(U, B, T) inputs -> (alphas, betas), packed-lane bidirectional pass.
+
+    Requires (B*T) % 128 == 0 (callers dispatch; reshapes are free
+    bitcasts). Bit-exact vs fused_alphas_betas_pallas."""
+    U, B, T = le.shape
+    rows = _pack_shape(B, T)
+    assert rows is not None and U % chunk == 0
+    nblocks = U // chunk
+    t_ids, is_last_t, out_len = _packed_consts(
+        B, T, input_length, output_length
+    )
+    pk = lambda x: x.reshape(U, rows, 128)
+    fwd = pl.BlockSpec(
+        (chunk, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    bwd = pl.BlockSpec(
+        (chunk, rows, 128), lambda i: (nblocks - 1 - i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    const = pl.BlockSpec(
+        (rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    lep, lsp, lfp = pk(le), pk(ls), pk(lf)
+    alphas, betas = pl.pallas_call(
+        functools.partial(
+            _bidir_kernel_packed, chunk=chunk, t_cols=T
+        ),
+        grid=(nblocks,),
+        in_specs=[const] * 3 + [fwd, fwd, fwd, bwd, bwd, bwd],
+        out_specs=(fwd, bwd),
+        out_shape=(
+            jax.ShapeDtypeStruct((U, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((U, rows, 128), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((rows, 128), jnp.float32)] * 5,
+        interpret=_interpret(),
+    )(
+        t_ids, is_last_t, out_len,
+        lep, lsp, lfp, lep, lsp, lfp,
+    )
+    return alphas.reshape(U, B, T), betas.reshape(U, B, T)
+
+
 # ------------------------------------------------------------- public loss
 
 def _pad_u(x, chunk):
@@ -939,13 +1111,18 @@ def _grad_mode(variant: str, B: int, T: int):
         # Same plain two-pass kernels; the bf16 storage rides on the input
         # arrays' dtype (kernels upcast on load, grads store in kind).
         return "plain", 0
-    if variant in ("fused", "exp", "plain"):
+    if variant in ("fused", "fusedpack", "exp", "plain"):
         return variant, 0
     if variant.startswith("banded"):
         k = int(variant[len("banded"):] or _AUTO_BANDED_K)
         assert k >= 2 and (k & (k - 1)) == 0, variant
         return "banded", k
     if _small_column(B, T):
+        rows = _pack_shape(B, T)
+        if rows is not None and rows >= 8:
+            # Issue-bound regime with dead lanes (T not a multiple of
+            # 128): the packed kernel trades them for a 2-roll shift.
+            return "fusedpack", 0
         return "fused", 0
     return "plain", 0
 
@@ -953,13 +1130,13 @@ def _grad_mode(variant: str, B: int, T: int):
 def _core_fwd(le, ls, lf, input_length, output_length, chunk, variant):
     U, B, T = le.shape
     mode, kband = _grad_mode(variant, B, T)
-    if mode in ("fused", "exp"):
+    if mode in ("fused", "fusedpack", "exp"):
         c = _auto_chunk(B, T, chunk, streams=8)
-        fused = (
-            fused_alphas_betas_pallas_exp
-            if mode == "exp"
-            else fused_alphas_betas_pallas
-        )
+        fused = {
+            "exp": fused_alphas_betas_pallas_exp,
+            "fused": fused_alphas_betas_pallas,
+            "fusedpack": fused_alphas_betas_pallas_packed,
+        }[mode]
         alphas, betas = fused(
             _pad_u(le, c), _pad_u(ls, c), _pad_u(lf, c),
             input_length, output_length, chunk=c,

@@ -13,11 +13,16 @@ shard's left edge. With the T axis sharded over a mesh axis, each scan step
 does its local shifted update after receiving ONE (B,) boundary vector from
 the left neighbor via `ppermute` — a nearest-neighbor ring hop over ICI,
 never an all-to-all. Everything else (the U-scan, the elementwise math)
-stays device-local, and memory per device is O(B * T/n) carry — no full
-lattice is ever materialized, which is the long-context point. Gradients
-come from autodiff through the scan + ppermute (ppermute transposes to the
-reverse hop, which IS the beta recursion's right-neighbor exchange), so the
-backward pass is automatically the mirrored ring.
+stays device-local. Memory per device: the scan carry is O(B * T/n), and
+autodiff through the scan additionally stores per-column alpha residuals —
+O(U * B * T/n) per device, the same order as the input shards themselves,
+so the T-sharding divides BOTH the input and residual footprint by n (the
+long-context point is that no array larger than a 1/n input shard ever
+lives on one device; it is not that the pass is O(carry)-memory).
+Gradients come from autodiff through the scan + ppermute (ppermute
+transposes to the reverse hop, which IS the beta recursion's
+right-neighbor exchange), so the backward pass is automatically the
+mirrored ring.
 
 The init needs no special case: the carry starts as the virtual column
 alpha_{-1} = onehot(t == 0) with virtual le_prev = 0, ls_prev = NEG (the
@@ -27,12 +32,24 @@ the uniform recursion as where(t == 0, lf_0, NEG) exactly.
 This is the multi-chip long-context path; the single-chip Pallas kernels
 (ops/lattice_pallas.py) remain the dispatch for lattices that fit one chip.
 Validated on the virtual-device CPU mesh against the unsharded reference
-(tests/test_lattice_sharded.py); on hardware the per-column ppermute of
-B*4 bytes rides ICI at negligible cost relative to the (B, T/n) column
-compute.
+(tests/test_lattice_sharded.py). Communication volume: one (B,)-vector
+ppermute per scan column per direction — U hops of B*4 bytes; the
+structural overhead vs the unsharded scan is measured in TSHARD_r04.json
+(scripts/tshard_bench.py; ICI latency itself cannot be measured on this
+single-chip rig, so the artifact reports hop counts and virtual-mesh
+wall-clock, not an ICI claim).
+
+Training configs reach this path through `tshard_lattice` (a dispatch
+context entered by parallel.train.make_sharded_train_step when
+ModelConfig.lattice_tshard_min_cells is set): lattices with
+U*B*T >= min_cells AND T divisible by the mesh axis dispatch here,
+smaller ones stay on the single-chip kernels.
 """
 
 from __future__ import annotations
+
+import contextlib
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +57,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ssnt_tts_tpu.ops.lattice import NEG, _logaddexp
+
+# ---------------------------------------------------------- dispatch hook
+
+_ACTIVE: list = []  # stack of (mesh, axis, min_cells)
+
+
+@contextlib.contextmanager
+def tshard_lattice(mesh: Mesh, axis: str = "model", min_cells: int = 0):
+    """Context under which the model's lattice-loss dispatch routes
+    sufficiently large lattices to ssnt_loss_tsharded (VERDICT r3 #5:
+    make T-sharding reachable from a training config, not just callable).
+    Active at trace time of any jit entered inside the context."""
+    _ACTIVE.append((mesh, axis, int(min_cells)))
+    try:
+        yield
+    finally:
+        _ACTIVE.pop()
+
+
+def active_tshard(U: int, B: int, T: int) -> Optional[Tuple[Mesh, str]]:
+    """The (mesh, axis) to T-shard over, or None. Requires an enclosing
+    tshard_lattice context, the cell-count threshold met, and T divisible
+    by the mesh axis."""
+    if not _ACTIVE:
+        return None
+    mesh, axis, min_cells = _ACTIVE[-1]
+    if U * B * T < min_cells or T % mesh.shape[axis]:
+        return None
+    return mesh, axis
 
 
 def _local_forward(le, ls, lf, input_length, output_length, axis_name):
@@ -117,12 +163,19 @@ def ssnt_loss_tsharded(
         raise ValueError(f"T={T} not divisible by mesh axis {axis}={n}")
     lat_sharding = NamedSharding(mesh, P(None, None, axis))
     rep = NamedSharding(mesh, P())
+    # Eager callers get a real device_put; under jit (the train-step
+    # integration path) the same shardings become layout constraints.
+    put = (
+        jax.lax.with_sharding_constraint
+        if isinstance(log_emit, jax.core.Tracer)
+        else jax.device_put
+    )
     args = (
-        jax.device_put(log_emit.astype(jnp.float32), lat_sharding),
-        jax.device_put(log_shift.astype(jnp.float32), lat_sharding),
-        jax.device_put(log_frame.astype(jnp.float32), lat_sharding),
-        jax.device_put(jnp.asarray(input_length, jnp.int32), rep),
-        jax.device_put(jnp.asarray(output_length, jnp.int32), rep),
+        put(log_emit.astype(jnp.float32), lat_sharding),
+        put(log_shift.astype(jnp.float32), lat_sharding),
+        put(log_frame.astype(jnp.float32), lat_sharding),
+        put(jnp.asarray(input_length, jnp.int32), rep),
+        put(jnp.asarray(output_length, jnp.int32), rep),
     )
 
     fn = shard_map(

@@ -123,8 +123,22 @@ def make_sharded_train_step(model, tx, mesh: Mesh, state: TrainState):
 
     sharded_state = jax.device_put(state, state_shardings)
 
+    base_step = partial(train_step, model, tx)
+    min_cells = getattr(model.config, "lattice_tshard_min_cells", None)
+    if min_cells is not None:
+        # Route big lattices to the T-sharded loss (ops/lattice_sharded):
+        # the context is active while jit traces the step, which is when
+        # the dispatch in models.ssnt._lattice_loss_fn consults it.
+        from ssnt_tts_tpu.ops import lattice_sharded
+
+        def base_step(state_, batch_, _bs=partial(train_step, model, tx)):
+            with lattice_sharded.tshard_lattice(
+                mesh, "model", min_cells
+            ):
+                return _bs(state_, batch_)
+
     step_fn = jax.jit(
-        partial(train_step, model, tx),
+        base_step,
         in_shardings=(state_shardings, data_spec),
         out_shardings=(state_shardings, mesh_lib.replicated(mesh)),
         donate_argnums=(0,),

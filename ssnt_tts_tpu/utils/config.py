@@ -82,6 +82,12 @@ class ModelConfig:
     # NLL (ops.lattice.ssnt_duration_loss) instead of only teacher-forced CE.
     use_duration_lattice: bool = False
     duration_lattice_weight: float = 1.0
+    # Long-context lattices: when set (and training through
+    # parallel.train.make_sharded_train_step), lattices with
+    # U*B*T >= this many cells shard their T axis over the mesh "model"
+    # axis with ring frontier exchange (ops/lattice_sharded) instead of
+    # running the single-chip kernels. None = never T-shard.
+    lattice_tshard_min_cells: Optional[int] = None
 
 
 def tiny_model_config(**overrides) -> ModelConfig:

@@ -308,3 +308,57 @@ def test_ubt_layout_matches_btu():
                 rtol=1e-5,
                 atol=1e-6,
             )
+
+
+def test_packed_bidir_bit_equal_and_grads():
+    """The packed-lane bidirectional kernel (variant="fusedpack") is
+    bit-exact vs the unpacked fused kernel (same op order: min-max
+    logaddexp == abs-form; virtual-carry init == select init), and the
+    full grad path matches XLA on a ragged batch."""
+    rng = np.random.default_rng(11)
+    B, T, U = 16, 16, 24  # B*T = 256 = 2 packed rows
+    le = np.log(rng.uniform(0.1, 0.9, (U, B, T))).astype(np.float32)
+    ls = np.log1p(-np.exp(le)).astype(np.float32)
+    lf = rng.normal(0, 0.5, (U, B, T)).astype(np.float32)
+    T_b = rng.integers(2, T + 1, B).astype(np.int32)
+    U_b = rng.integers(2, U + 1, B).astype(np.int32)
+
+    a_ref, b_ref = lattice_pallas.fused_alphas_betas_pallas(
+        jnp.asarray(le), jnp.asarray(ls), jnp.asarray(lf),
+        jnp.asarray(T_b), jnp.asarray(U_b), chunk=8,
+    )
+    a_pk, b_pk = lattice_pallas.fused_alphas_betas_pallas_packed(
+        jnp.asarray(le), jnp.asarray(ls), jnp.asarray(lf),
+        jnp.asarray(T_b), jnp.asarray(U_b), chunk=8,
+    )
+    np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_pk))
+    np.testing.assert_array_equal(np.asarray(b_ref), np.asarray(b_pk))
+
+    loss_p, g_p = jax.value_and_grad(
+        lambda a, b, c: jnp.sum(
+            lattice_pallas.ssnt_loss_pallas(
+                a, b, c, T_b, U_b, chunk=8, variant="fusedpack",
+                layout="ubt",
+            )
+        ),
+        argnums=(0, 1, 2),
+    )(jnp.asarray(le), jnp.asarray(ls), jnp.asarray(lf))
+    loss_x, g_x = jax.value_and_grad(
+        lambda a, b, c: jnp.sum(
+            lattice.ssnt_loss(a, b, c, T_b, U_b, layout="ubt")
+        ),
+        argnums=(0, 1, 2),
+    )(jnp.asarray(le), jnp.asarray(ls), jnp.asarray(lf))
+    np.testing.assert_allclose(float(loss_p), float(loss_x), rtol=1e-5)
+    for gp, gx, name in zip(g_p, g_x, ["emit", "shift", "frame"]):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-5,
+            err_msg=name,
+        )
+
+
+def test_fusedpack_is_the_headline_dispatch():
+    """The headline B=32 x T=80 shape must auto-dispatch to the packed
+    kernel (B*T = 2560 -> 20 rows >= 8); tiny unpackable shapes fall back."""
+    assert lattice_pallas._grad_mode("log", 32, 80) == ("fusedpack", 0)
+    assert lattice_pallas._grad_mode("log", 4, 8) == ("fused", 0)

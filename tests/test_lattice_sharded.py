@@ -79,3 +79,57 @@ def test_tsharded_memory_is_column_not_lattice():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-5
     )
+
+
+def test_tsharding_reachable_from_training_config():
+    """VERDICT r3 #5b: a training config (ModelConfig.lattice_tshard_min_cells)
+    must actually reach the T-sharded loss through the sharded train step.
+    With the threshold at 0 every lattice T-shards; the step must run and
+    produce the same loss as the unsharded train step."""
+    from ssnt_tts_tpu.models import SSNTModel
+    from ssnt_tts_tpu.parallel import mesh as mesh_lib
+    from ssnt_tts_tpu.parallel import train as train_lib
+    from ssnt_tts_tpu.utils.config import (
+        MeshConfig, TrainConfig, tiny_model_config,
+    )
+
+    rng = np.random.default_rng(5)
+    B, T, U = 4, 8, 12  # T divisible by the model axis (2)
+    batch = {
+        "tokens": jnp.asarray(rng.integers(1, 32, (B, T)), jnp.int32),
+        "mel": jnp.asarray(rng.normal(0, 1, (B, U, 8)), jnp.float32),
+        "input_length": jnp.full((B,), T, jnp.int32),
+        "output_length": jnp.full((B,), U, jnp.int32),
+    }
+    tcfg = TrainConfig(warmup_steps=2, batch_size=B)
+    mesh = mesh_lib.make_mesh(
+        MeshConfig(data=4, model=2), devices=jax.devices()[:8]
+    )
+
+    def one_step(min_cells):
+        cfg = tiny_model_config(lattice_tshard_min_cells=min_cells)
+        model = SSNTModel(cfg)
+        state = train_lib.init_train_state(
+            model, jax.random.PRNGKey(0), batch, tcfg
+        )
+        tx = train_lib.make_optimizer(tcfg)
+        step_fn, sharded_state = train_lib.make_sharded_train_step(
+            model, tx, mesh, state
+        )
+        b = jax.device_put(batch, mesh_lib.data_sharding(mesh))
+        _, metrics = step_fn(sharded_state, b)
+        return float(metrics["loss"])
+
+    loss_tshard = one_step(0)        # every lattice T-shards
+    loss_plain = one_step(None)      # never
+    assert np.isfinite(loss_tshard)
+    np.testing.assert_allclose(loss_tshard, loss_plain, rtol=1e-4)
+
+    # Sanity on the dispatch helper itself.
+    from ssnt_tts_tpu.ops import lattice_sharded as ls_mod
+    assert ls_mod.active_tshard(4, 4, 4) is None  # no context
+    with ls_mod.tshard_lattice(mesh, "model", min_cells=10**9):
+        assert ls_mod.active_tshard(4, 4, 4) is None  # below threshold
+    with ls_mod.tshard_lattice(mesh, "model", min_cells=0):
+        assert ls_mod.active_tshard(4, 4, 8) is not None
+        assert ls_mod.active_tshard(4, 4, 7) is None  # T % axis != 0
