@@ -28,7 +28,13 @@ MEASUREMENT: all timings use ssnt_tts_tpu.utils.timing (chained lax.scan +
 on-device scalar fetch + two-point slope). On the tunneled TPU,
 jax.block_until_ready does NOT wait for execution and every fetch pays a
 fixed ~25-30 ms RPC; naive timing (used in round 1) measures the tunnel,
-not the kernel.
+not the kernel. Round-4 refinements: (a) consumer audit — scalar / sum /
+elementwise grad consumption measure identically (scripts/probe_dce.py),
+so the grad numbers are not DCE'd; (b) the lattice grad chains thread
+their iteration dependency through the i32 input_length vector instead of
+perturbing a full (U, B, T) input, removing a constant ~14 us/iteration
+read+write artifact the r1-r3 numbers carried (the r3 primary re-measures
+~4% faster under the honest chain with identical kernels).
 """
 
 import json
@@ -81,16 +87,47 @@ def main():
     def grad_of(loss_fn):
         # All three cotangents, as a train step needs (grad wrt one input
         # would let XLA DCE part of the posterior pass and flatter the
-        # non-fused paths).
+        # non-fused paths). Consumer audit: scalar / sum / elementwise
+        # grad consumption all measure identically (scripts/probe_dce.py),
+        # so nothing here is dead-code-eliminated.
         return lambda a, b, c: jax.grad(
             lambda x, y, z: jnp.sum(loss_fn(x, y, z)), argnums=(0, 1, 2)
         )(a, b, c)
+
+    def bench_grad_via_lengths(loss_fn_with_len, a, b_, c, il,
+                               n_lo=10, n_hi=60):
+        """Slope-time grad(loss) with the iteration chain threaded through
+        input_length — an i32 (B,) carry — instead of perturbing a full
+        (U, B, T) input. The old full-array chain added a constant
+        ~8 MB read+write (~14 us) of pure measurement artifact per
+        iteration; the length carry keeps a true data dependency into the
+        kernel (ragged masks consume it) at ~zero cost. The carry update
+        (eps > 1e30 is always False at runtime) is not constant-foldable,
+        so every iteration recomputes the full fwd+bwd."""
+        from ssnt_tts_tpu.utils.timing import bench_step as _bs
+
+        def step(il_c):
+            g = jax.grad(
+                lambda x, y, z: jnp.sum(loss_fn_with_len(x, y, z, il_c)),
+                argnums=(0, 1, 2),
+            )(a, b_, c)
+            eps = (
+                g[0][0, 0, 0].astype(jnp.float32)
+                + g[1][0, 0, 0].astype(jnp.float32)
+                + g[2][0, 0, 0].astype(jnp.float32)
+            )
+            return il_c + (eps > 1e30).astype(jnp.int32)
+
+        return _bs(step, il, n_lo=n_lo, n_hi=n_hi)
 
     xla_loss = lambda a, b, c: lattice.ssnt_loss(
         a, b, c, T_b, U_b, layout="ubt"
     )
     pallas_loss = lambda a, b, c: lattice_pallas.ssnt_loss_pallas(
         a, b, c, T_b, U_b, layout="ubt"
+    )
+    pallas_loss_len = lambda a, b, c, il: lattice_pallas.ssnt_loss_pallas(
+        a, b, c, il, U_b, layout="ubt"
     )
 
     extras["lattice_shape"] = f"B{B}xT{T}xU{U}"
@@ -100,7 +137,9 @@ def main():
     if not on_cpu:
         try:
             _prog("pallas fwdbwd (primary)...")
-            dt_fwdbwd_pallas = bench_fn(grad_of(pallas_loss), le, ls, lf)
+            dt_fwdbwd_pallas = bench_grad_via_lengths(
+                pallas_loss_len, le, ls, lf, T_b
+            )
             extras["lattice_fwdbwd_pallas_Mcells_per_s"] = round(
                 cells / dt_fwdbwd_pallas / 1e6, 1
             )
@@ -148,12 +187,13 @@ def main():
             lf2 = jnp.asarray(rng.normal(0, 0.5, (U, B2, T)), jnp.float32)
             T_b2 = jnp.full((B2,), T, jnp.int32)
             U_b2 = jnp.full((B2,), U, jnp.int32)
-            loss256 = lambda a, b, c: lattice_pallas.ssnt_loss_pallas(
-                a, b, c, T_b2, U_b2, layout="ubt"
+            loss256_len = lambda a, b, c, il: lattice_pallas.ssnt_loss_pallas(
+                a, b, c, il, U_b2, layout="ubt"
             )
             _prog("pallas B256...")
-            dt256 = bench_fn(grad_of(loss256), le2, ls2, lf2,
-                             n_lo=6, n_hi=24)
+            dt256 = bench_grad_via_lengths(
+                loss256_len, le2, ls2, lf2, T_b2, n_lo=6, n_hi=24
+            )
             mc256 = B2 * T * U / dt256 / 1e6
             extras["lattice_fwdbwd_pallas_B256_Mcells_per_s"] = round(
                 mc256, 1
@@ -168,11 +208,12 @@ def main():
             le2h = le2.astype(jnp.bfloat16)
             ls2h = ls2.astype(jnp.bfloat16)
             lf2h = lf2.astype(jnp.bfloat16)
-            loss256_bf16 = lambda a, b, c: lattice_pallas.ssnt_loss_pallas(
-                a, b, c, T_b2, U_b2, layout="ubt", variant="bf16"
+            loss256h_len = lambda a, b, c, il: lattice_pallas.ssnt_loss_pallas(
+                a, b, c, il, U_b2, layout="ubt", variant="bf16"
             )
-            dt256h = bench_fn(grad_of(loss256_bf16), le2h, ls2h, lf2h,
-                              n_lo=6, n_hi=24)
+            dt256h = bench_grad_via_lengths(
+                loss256h_len, le2h, ls2h, lf2h, T_b2, n_lo=6, n_hi=24
+            )
             extras["lattice_fwdbwd_bf16_B256_Mcells_per_s"] = round(
                 B2 * T * U / dt256h / 1e6, 1
             )
@@ -230,15 +271,32 @@ def main():
         extras["decode_audio_s_per_s_beam8"] = round(audio_s_per_s, 1)
         extras["decode_ms_per_frame_batch32"] = round(dt_dec / Ud * 1e3, 4)
 
-        # Derived decode budget: per frame the beam decode runs the AR
-        # decoder cell + joint for B*W hypotheses (see parallel/decode.py).
-        # Dominant matmul work per frame ~= B*W * (decoder cell 2*(2d*4d)
-        # fused gates + joint 2*d*r + output 2*r*D) flops; on this chip
-        # assume ~50 Tflop/s effective MXU f32->bf16 and ~3x latency slack
-        # for the small-matmul + top-k overhead (measured on v5e).
-        d, r, D = cfg.decoder_dim, cfg.joint_rank, cfg.mel_dim
-        flops_frame = Bd * W * (2 * d * 4 * d * 2 + 2 * d * r + 2 * r * D)
-        budget_s = max(flops_frame / 50e12 * 3.0, 6e-6)
+        # Decode budgets from MEASURED primitive dispatch latencies
+        # (scripts/probe_budget.py, v5e via tunnel 2026-08-21 — replaces
+        # the r3 asserted "50 Tflop/s + 3x slack", VERDICT r3 weak #8).
+        # Inside a decode scan every HLO is a serial dispatch whose
+        # actual vector work finishes in ns; a step's floor is the sum of
+        # critical-path dispatch latencies plus the beam kernel's VPU
+        # work (flops/peak would give ~0.1 us and is meaningless here).
+        #   L_MM     dependent model-shaped matmul dispatch: measured
+        #            2.075 us for a chained 256x256 @ 256x768 bf16 pair
+        #            -> 1.04 each. Cross-check: the model-only ablation
+        #            (6 dependent matmuls) measures 5.9 us ~= 6 * L_MM
+        #            (docs/DECODE_PROFILE.md).
+        #   L_ELEM   dependent elementwise HLO 0.75 us
+        #   L_PALLAS fused-kernel launch (trivial body) 0.85 us
+        #   L_GATHER take_along_axis beam-state reorder 1.75 us
+        L_MM, L_ELEM, L_PALLAS, L_GATHER = 1.04, 0.75, 0.85, 1.75
+        # v1 per-frame floor: 6 dependent matmuls (prenet 2, GRU 2,
+        # transition joint dec_pre+dec_proj 2; enc projections + frame
+        # joint sit off the critical path), the h transpose, the fused
+        # beam+reorder kernel — launch + its ~45-op pairwise algebra on
+        # (B, C, C) masks at C=2W=16: 45 ops * B*C*128 lanes / (1024
+        # lanes/cyc * 0.94 GHz) ~= 3.1 us of VPU — and 2 glue selects.
+        beam_vpu_v1 = 3.1
+        budget_s = (
+            6 * L_MM + L_ELEM + L_PALLAS + beam_vpu_v1 + 2 * L_ELEM
+        ) * 1e-6
         extras["decode_frame_budget_us"] = round(budget_s * 1e6, 1)
         extras["decode_vs_budget"] = round(budget_s / dt_dec * Ud, 3)
 
@@ -268,6 +326,23 @@ def main():
             extras["v2_decode_us_per_source_step"] = round(
                 dt_v2 / Td * 1e6, 2
             )
+            # v2 per-source-step floor (same primitive model; VERDICT r3
+            # missing #2 — the production path gets a derived budget):
+            # ARClassCell.step critical path 5 dependent matmuls (enc_in,
+            # GRU 2, out, + the head's base logits) + the enc_t gather,
+            # the fused tiled beam kernel (launch + 3 j-slab reduction
+            # passes: ~260 slab ops * B*8*128 lanes -> ~8.9 us VPU + ~1
+            # candidate/tail), the parent-pointer state reorder gather,
+            # and 2 glue selects.
+            beam_vpu_v2 = 9.9
+            v2_budget_us = (
+                5 * L_MM + L_GATHER + L_PALLAS + beam_vpu_v2
+                + L_GATHER + 2 * L_ELEM
+            )
+            extras["v2_decode_budget_us"] = round(v2_budget_us, 1)
+            extras["v2_decode_vs_budget"] = round(
+                v2_budget_us / (dt_v2 / Td * 1e6), 3
+            )
 
         # Tone-latent decode — the reference's third decode kernel
         # (/root/reference/src/tone_latent.rs:144-182), per-beam AR
@@ -292,6 +367,20 @@ def main():
             # steps: utterances/s x audio-s per utterance.
             extras["tone_decode_audio_s_per_s_beam8"] = round(
                 Bd * Ud * frame_hop_s / dt_tone, 1
+            )
+            # Tone per-source-step floor: same AR-cell model path as v2;
+            # the tone step is v2 minus the duration prunes, so its beam
+            # floor is the v1-style pairwise algebra at C = W*K = 64
+            # (~45 ops -> ~6.2 us VPU) + launch. The tone beam step
+            # currently runs the XLA formulation (no dedicated kernel) —
+            # the gap to this budget is that kernel, stated, not hidden.
+            tone_budget_us = (
+                5 * L_MM + L_GATHER + L_PALLAS + 6.2
+                + L_GATHER + 2 * L_ELEM
+            )
+            extras["tone_decode_budget_us"] = round(tone_budget_us, 1)
+            extras["tone_decode_vs_budget"] = round(
+                tone_budget_us / (dt_tone / Td * 1e6), 3
             )
 
         # Train step at B=32.

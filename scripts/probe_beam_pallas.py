@@ -148,3 +148,58 @@ def main_v2():
 if __name__ == "__main__":
     main()
     main_v2()
+
+
+def main_tone():
+    from ssnt_tts_tpu.ops import tone_latent
+
+    B, W, K, T = 32, 8, 8, 80
+    il = jnp.full((B,), T, jnp.int32)
+    r = np.random.default_rng(7)
+    for trial in range(10):
+        rr = np.random.default_rng(trial)
+        h = rr.normal(0, 1, (B, W, K)).astype(np.float32)
+        if trial % 2:
+            h = np.round(h * 2) / 2
+        lp = np.round(rr.normal(0, 1, (B, W)), 1).astype(np.float32)
+        fin = rr.random((B, W)) < 0.2
+        t = rr.integers(0, T + 1, (B, W)).astype(np.int32)
+        u = rr.integers(0, 10, (B, W)).astype(np.int32)
+        a = tone_latent.beam_search_decode(
+            jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+            jnp.asarray(t), jnp.asarray(u), il, empty_tone_id=0,
+        )
+        b = beam_pallas.tone_beam_search_decode(
+            jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+            jnp.asarray(t), jnp.asarray(u), il, empty_tone_id=0,
+        )
+        for xa, xb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+    print("tone equality: 10 randomized trials bit-exact", flush=True)
+
+    h0 = jnp.asarray(r.normal(0, 1, (B, W, K)), jnp.float32)
+    carry0 = (
+        jnp.zeros((B, W), jnp.float32), jnp.zeros((B, W), bool),
+        jnp.zeros((B, W), jnp.int32), jnp.zeros((B, W), jnp.int32),
+    )
+
+    def mk(fn):
+        def step(c):
+            lp, fin, t, u = c
+            h = h0 + lp[:, :, None] * 1e-6
+            pred, lp2, nt, nu, nfin, br = fn(
+                h, lp, fin, t, u, il, empty_tone_id=0
+            )
+            return (lp2, nfin, jnp.clip(nt, 0, T - 1), nu)
+        return step
+
+    d_x = bench_step(mk(tone_latent.beam_search_decode), carry0,
+                     n_lo=8, n_hi=64)
+    d_p = bench_step(mk(beam_pallas.tone_beam_search_decode), carry0,
+                     n_lo=8, n_hi=64)
+    print(f"tone beam step XLA   : {d_x*1e6:7.2f} us", flush=True)
+    print(f"tone beam step pallas: {d_p*1e6:7.2f} us", flush=True)
+
+
+if __name__ == "__main__":
+    main_tone()

@@ -62,3 +62,21 @@ if "check" in which:
         )
     )(le, ls, lf)
     print("max_abs_diff:", float(jnp.max(jnp.abs(ref - got))), flush=True)
+
+if "lenchain" in which:
+    # The bench's round-4 input_length iteration chain (zero-artifact).
+    from ssnt_tts_tpu.utils.timing import bench_step as _bs
+
+    def step(il_c):
+        g = jax.grad(
+            lambda x, y, z: jnp.sum(
+                lattice_pallas.ssnt_loss_pallas(
+                    x, y, z, il_c, U_b, layout="ubt"
+                )
+            ),
+            argnums=(0, 1, 2),
+        )(le, ls, lf)
+        eps = g[0][0, 0, 0] + g[1][0, 0, 0] + g[2][0, 0, 0]
+        return il_c + (eps > 1e30).astype(jnp.int32)
+
+    show("grad via len-chain  ", _bs(step, T_b))

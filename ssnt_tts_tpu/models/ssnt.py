@@ -85,6 +85,7 @@ def _lattice_loss_fn(impl: str, lattice_dtype: str = "float32"):
             )
         return base(le, ls, lf, input_length, output_length)
 
+    dispatch.base = base  # introspectable (tests check the variant)
     return dispatch
 
 

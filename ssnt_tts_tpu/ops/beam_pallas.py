@@ -10,9 +10,11 @@ sort-free selection into ONE launch.
 Semantics are ops/beam_v1.beam_search_step exactly (reference:
 /root/reference/src/lib.rs:149-230, sort/dedup/pad :160-169):
 
-- candidates in generation order (beam-major, class-minor) — the caller
-  passes h reshaped to (B, 2W) and the per-beam state repeated ×2, both
-  pure layout views so the interleaved lane index IS the generation index;
+- candidates laid out CLASS-MAJOR in the lane axis (pos = k*W + w): the
+  per-beam state expands in-kernel by pltpu.repeat (which tiles) and h
+  arrives via one transpose dispatch — the reference's beam-major
+  GENERATION index gen = w*D + k is computed from the position and is the
+  only ordering the semantics ever consult;
 - stable descending order via pairwise IEEE compares (log_prob, ties by
   generation index) — the same ranks as beam_common.select_beams, so the
   −0.0/+0.0 TopK hazard documented there cannot reappear;
@@ -63,18 +65,34 @@ def _batch_block(B: int, C: int, temps: int) -> int:
 def _v1_candidates_and_hit(
     h_ref, lp_ref, fin_ref, t_ref, u_ref, il_ref, W_out,
 ):
-    """Shared v1 candidate construction + selection (see _v1_kernel)."""
-    B, _, C = h_ref.shape
+    """Shared v1 candidate construction + selection (see _v1_kernel).
 
-    h = h_ref[:][:, 0, :]    # (B, C) candidate-class step log-prob
-    lp = lp_ref[:][:, 0, :]  # (B, C) parent cumulative log-prob (rep x2)
-    fin = fin_ref[:][:, 0, :] != 0
-    t = t_ref[:][:, 0, :]
-    u = u_ref[:][:, 0, :]
+    Per-beam state refs are UNREPEATED (BB, 1, W); the candidate
+    expansion happens in-kernel via pltpu.repeat (one VPU op each),
+    replacing four XLA jnp.repeat dispatches that cost ~0.75 us EACH
+    inside the decode scan (scripts/probe_budget.py). pltpu.repeat TILES
+    ([x0..xW x0..xW]), so candidates live in CLASS-MAJOR physical order
+    (pos = k*W + w); reference semantics (stable sort by beam-major
+    generation order, src/lib.rs:149-170) are preserved by computing the
+    reference generation index gen = w*2 + k from the position and using
+    it — never the physical position — as the tie-break/stability key.
+    h arrives pre-transposed to (BB, 1, 2W) class-major (one XLA
+    transpose+reshape dispatch replaces the four repeats)."""
+    B, _, C = h_ref.shape
+    W = C // 2
+
+    rep2 = lambda r: pltpu.repeat(r[:][:, 0, :], 2, axis=1)
+    h = h_ref[:][:, 0, :]    # (B, C) class-major step log-prob
+    lp = rep2(lp_ref)        # (B, C) parent cumulative log-prob
+    fin = rep2(fin_ref) != 0
+    t = rep2(t_ref)
+    u = rep2(u_ref)
     il = il_ref[:][:, 0, :]  # (B, 1)
 
-    gen = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
-    is_shift = (gen % 2) == 1
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    is_shift = pos >= W      # class k = pos // W for D = 2
+    parent = pos - jnp.where(is_shift, W, 0)  # pos % W
+    gen = parent * 2 + is_shift.astype(jnp.int32)
     active = (t >= 0) & (t < il) & (~fin)
     last = t == il - 1
 
@@ -96,7 +114,6 @@ def _v1_candidates_and_hit(
     cnt = jnp.where(is_shift, s_nt, t)
     cnu = jnp.where(is_shift, s_nu, e_nu)
     valid = (~is_shift) | active  # emit always valid; shift iff active
-    parent = gen // 2
 
     # Pairwise stable order + adjacency dedup (beam_common.select_beams).
     # The four int eq_ignore_parent fields pack into ONE injective i32 key
@@ -284,23 +301,27 @@ def _select_sort_free_tiled(
     gi = gen[:, None, :]
     roll = lambda x: pltpu.roll(x, C - jc, axis=1)
 
-    def before_blk(lp_r, v_r, k):
-        """(B, jc, C) i1: candidate j (slab row) strictly before i (lane)."""
+    def before_blk(lp_r, v_r, g_r):
+        """(B, jc, C) i1: candidate j (slab row) strictly before i (lane).
+        gen is carried as a rolled VALUE vector like the others — the
+        physical position is NOT the generation index (the kernels place
+        candidates class-major but tie-break in reference beam-major
+        generation order)."""
         lpj = lp_r[:, :jc][:, :, None]
-        gj = k * jc + jax.lax.broadcasted_iota(jnp.int32, (1, jc, 1), 1)
+        gj = g_r[:, :jc][:, :, None]
         vj = v_r[:, :jc][:, :, None] == 1
         return vj & ((lpj > lpi) | ((lpj == lpi) & (gj < gi)))
 
     # Phase 1: rank_i = #(valid j strictly before i).
     def p1(k, carry):
-        lp_r, v_r, acc = carry
+        lp_r, v_r, g_r, acc = carry
         acc = acc + jnp.sum(
-            before_blk(lp_r, v_r, k).astype(jnp.int32), axis=1
+            before_blk(lp_r, v_r, g_r).astype(jnp.int32), axis=1
         )
-        return roll(lp_r), roll(v_r), acc
+        return roll(lp_r), roll(v_r), roll(g_r), acc
 
-    _, _, rank = jax.lax.fori_loop(
-        0, nblk, p1, (clp, v32, jnp.zeros((B, C), jnp.int32))
+    _, _, _, rank = jax.lax.fori_loop(
+        0, nblk, p1, (clp, v32, gen, jnp.zeros((B, C), jnp.int32))
     )
 
     # Phase 2: dup_i = exists j equal (eq_ignore_parent) at rank_i - 1.
@@ -328,13 +349,13 @@ def _select_sort_free_tiled(
 
     # Phase 3: krank_i = #(surviving j strictly before i).
     def p3(k, carry):
-        lp_r, v_r, k_r, acc = carry
-        hit = before_blk(lp_r, v_r, k) & (k_r[:, :jc][:, :, None] == 1)
+        lp_r, v_r, g_r, k_r, acc = carry
+        hit = before_blk(lp_r, v_r, g_r) & (k_r[:, :jc][:, :, None] == 1)
         acc = acc + jnp.sum(hit.astype(jnp.int32), axis=1)
-        return roll(lp_r), roll(v_r), roll(k_r), acc
+        return roll(lp_r), roll(v_r), roll(g_r), roll(k_r), acc
 
-    _, _, _, krank = jax.lax.fori_loop(
-        0, nblk, p3, (clp, v32, k32, jnp.zeros((B, C), jnp.int32))
+    _, _, _, _, krank = jax.lax.fori_loop(
+        0, nblk, p3, (clp, v32, gen, k32, jnp.zeros((B, C), jnp.int32))
     )
 
     # Tail identical to _select_sort_free (all (B, C)/(B, W_out, C) sized).
@@ -384,13 +405,12 @@ def beam_search_step_batched(
     W_out = W if max_beam_width is None else max_beam_width
 
     C = 2 * W
-    rep = lambda x: jnp.repeat(x, 2, axis=1).reshape(B, 1, C)
     bb = _batch_block(B, C, temps=45)
     row = lambda width: pl.BlockSpec((bb, 1, width), lambda i: (i, 0, 0))
     out = pl.pallas_call(
         _v1_kernel,
         grid=(B // bb,),
-        in_specs=[row(C)] * 5 + [row(1)],
+        in_specs=[row(C)] + [row(W)] * 4 + [row(1)],
         out_specs=[row(W_out)] * 6,
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
@@ -402,11 +422,11 @@ def beam_search_step_batched(
         ],
         interpret=_interpret(),
     )(
-        h.reshape(B, 1, C).astype(jnp.float32),
-        rep(log_prob_history.astype(jnp.float32)),
-        rep(is_finished.astype(jnp.int32)),
-        rep(t.astype(jnp.int32)),
-        rep(u.astype(jnp.int32)),
+        jnp.transpose(h, (0, 2, 1)).reshape(B, 1, C).astype(jnp.float32),
+        log_prob_history.astype(jnp.float32).reshape(B, 1, W),
+        is_finished.astype(jnp.int32).reshape(B, 1, W),
+        t.astype(jnp.int32).reshape(B, 1, W),
+        u.astype(jnp.int32).reshape(B, 1, W),
         jnp.asarray(input_length, jnp.int32).reshape(B, 1, 1),
     )
     pred, lp, nt, nu, fin, br = (x.reshape(B, W_out) for x in out)
@@ -436,7 +456,6 @@ def beam_search_step_reorder(
     F = state.shape[2]
 
     C = 2 * W
-    rep = lambda x: jnp.repeat(x, 2, axis=1).reshape(B, 1, C)
     bb = _batch_block(B, C, temps=45)
     row = lambda width: pl.BlockSpec((bb, 1, width), lambda i: (i, 0, 0))
     srow = lambda n_, width: pl.BlockSpec(
@@ -445,7 +464,7 @@ def beam_search_step_reorder(
     out = pl.pallas_call(
         _v1_reorder_kernel,
         grid=(B // bb,),
-        in_specs=[row(C)] * 5 + [row(1)] + [srow(W, F)],
+        in_specs=[row(C)] + [row(W)] * 4 + [row(1)] + [srow(W, F)],
         out_specs=[row(W_out)] * 6 + [srow(W_out, F)],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
@@ -458,11 +477,11 @@ def beam_search_step_reorder(
         ],
         interpret=_interpret(),
     )(
-        h.reshape(B, 1, C).astype(jnp.float32),
-        rep(log_prob_history.astype(jnp.float32)),
-        rep(is_finished.astype(jnp.int32)),
-        rep(t.astype(jnp.int32)),
-        rep(u.astype(jnp.int32)),
+        jnp.transpose(h, (0, 2, 1)).reshape(B, 1, C).astype(jnp.float32),
+        log_prob_history.astype(jnp.float32).reshape(B, 1, W),
+        is_finished.astype(jnp.int32).reshape(B, 1, W),
+        t.astype(jnp.int32).reshape(B, 1, W),
+        u.astype(jnp.int32).reshape(B, 1, W),
         jnp.asarray(input_length, jnp.int32).reshape(B, 1, 1),
         state.astype(jnp.float32),
     )
@@ -492,8 +511,15 @@ def _make_v2_kernel(
         obr_ref, onsurv_ref,
     ):
         # Refs are (BB, 1, X); see _v1_kernel for the layout rationale.
+        # Per-beam state is UNREPEATED (BB, 1, W): the xD candidate
+        # expansion runs in-kernel (pltpu.repeat, one VPU op each) instead
+        # of five XLA jnp.repeat dispatches inside the decode scan.
         B, _, C = h_ref.shape
 
+        # v2 keeps BEAM-MAJOR candidates with XLA-side xD expansion:
+        # unlike v1's x2, pltpu.repeat(x, D=10) lowers poorly (measured
+        # +3 us/step vs the XLA repeats — scripts/probe_beam_pallas.py),
+        # so the five jnp.repeat dispatches stay outside.
         h = h_ref[:][:, 0, :]       # (B, C) beam-major class-minor
         hist = hist_ref[:][:, 0, :]  # (B, C) parent log-prob (rep xD)
         fin = fin_ref[:][:, 0, :] != 0
@@ -686,3 +712,110 @@ def v2_beam_search_decode(
     if return_num_survivors:
         return result + (out[7].reshape(B),)
     return result
+
+
+def _make_tone_kernel(W_out: int, K: int, empty_tone_id: int):
+    """Fused tone-latent step (semantics: ops/tone_latent.beam_search_step,
+    reference /root/reference/src/tone_latent.rs:144-234): structurally the
+    v2 step minus duration bookkeeping — every class admissible for active
+    beams, unconditional (t, u) -> (t+1, u+1) advance, empty_tone_id
+    padding for finished/out-of-range beams."""
+
+    def kernel(h_ref, hist_ref, fin_ref, t_ref, u_ref, il_ref,
+               opred_ref, olp_ref, ont_ref, onu_ref, ofin_ref, obr_ref):
+        B, _, C = h_ref.shape
+        W = C // K
+
+        repK = lambda r: pltpu.repeat(r[:][:, 0, :], K, axis=1)
+        h = h_ref[:][:, 0, :]   # (B, C) class-major (h pre-transposed)
+        hist = repK(hist_ref)
+        fin0 = repK(fin_ref) != 0
+        t = repK(t_ref)
+        u = repK(u_ref)
+        il = il_ref[:][:, 0, :]  # (B, 1)
+
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+        d_ids = pos // W
+        parent = pos - d_ids * W
+        gen = parent * K + d_ids  # reference generation order
+
+        active = (t < il) & (~fin0)  # tone_latent.rs:75-84
+        pred = d_ids
+        lp = hist + h
+        nt = t + 1
+        nu = u + 1
+        pad0 = (~active) & (d_ids == 0)
+        pred = jnp.where(pad0, empty_tone_id, pred)
+        lp = jnp.where(pad0, hist, lp)
+        nt = jnp.where(pad0, t, nt)
+        nu = jnp.where(pad0, u, nu)
+        cfin = pad0
+        valid = active | pad0
+
+        ekey1 = nt * 16384 + nu
+        ekey2 = pred * 2 + cfin.astype(jnp.int32)
+        if C % 8 == 0:
+            hit3, _n = _select_sort_free_tiled(
+                lp, valid, [ekey1, ekey2], gen, W_out
+            )
+        else:
+            hit3, _n = _select_sort_free(
+                lp, valid, [ekey1, ekey2], gen, W_out
+            )
+
+        opred_ref[:] = _pick_i32(hit3, pred)[:, None, :]
+        olp_ref[:] = _pick_f32(hit3, lp)[:, None, :]
+        ont_ref[:] = _pick_i32(hit3, nt)[:, None, :]
+        onu_ref[:] = _pick_i32(hit3, nu)[:, None, :]
+        ofin_ref[:] = _pick_i32(hit3, cfin.astype(jnp.int32))[:, None, :]
+        obr_ref[:] = _pick_i32(hit3, parent)[:, None, :]
+
+    return kernel
+
+
+def tone_beam_search_decode(
+    h: jax.Array,
+    log_prob_history: jax.Array,
+    is_finished: jax.Array,
+    t: jax.Array,
+    u: jax.Array,
+    input_length: jax.Array,
+    *,
+    empty_tone_id: int = 0,
+    max_beam_width: int | None = None,
+):
+    """Fused batched tone step; drop-in equal to
+    ops.tone_latent.beam_search_decode (tests/test_beam_pallas.py)."""
+    B, W, K = h.shape
+    if K * 2 >= 2**31:
+        raise ValueError(f"tone_class_size {K} overflows eq-key packing")
+    W_out = W if max_beam_width is None else max_beam_width
+    C = W * K
+
+    kernel = _make_tone_kernel(W_out, K, int(empty_tone_id))
+    bb = _batch_block(B, 8 if C % 8 == 0 else C, temps=16)
+    row = lambda width: pl.BlockSpec((bb, 1, width), lambda i: (i, 0, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // bb,),
+        in_specs=[row(C)] + [row(W)] * 4 + [row(1)],
+        out_specs=[row(W_out)] * 6,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(
+        jnp.transpose(h, (0, 2, 1)).reshape(B, 1, C).astype(jnp.float32),
+        log_prob_history.astype(jnp.float32).reshape(B, 1, W),
+        is_finished.astype(jnp.int32).reshape(B, 1, W),
+        t.astype(jnp.int32).reshape(B, 1, W),
+        u.astype(jnp.int32).reshape(B, 1, W),
+        jnp.asarray(input_length, jnp.int32).reshape(B, 1, 1),
+    )
+    pred, lp, nt, nu, fin, br = (x.reshape(B, W_out) for x in out)
+    return pred, lp, nt, nu, fin != 0, br

@@ -252,3 +252,73 @@ def test_step_reorder_matches_compose():
             np.asarray(a_state), np.asarray(b[6]),
             err_msg=f"trial {trial} state",
         )
+
+
+def test_tone_matches_xla_randomized():
+    """Fused tone kernel vs ops.tone_latent XLA: randomized trials with
+    tie-heavy log-probs, finished/out-of-range beams, non-divisible C."""
+    from ssnt_tts_tpu.ops import tone_latent
+
+    for B, W, K in [(4, 5, 7), (2, 4, 8)]:  # C=35 (untiled) and 32 (tiled)
+        for trial in range(20):
+            r = np.random.default_rng(100 * K + trial)
+            h = r.normal(0, 1, (B, W, K)).astype(np.float32)
+            if trial % 2:
+                h = np.round(h * 2) / 2
+            lp = np.round(r.normal(0, 1, (B, W)), 1).astype(np.float32)
+            fin = r.random((B, W)) < 0.25
+            T = 6
+            t = r.integers(0, T + 1, (B, W)).astype(np.int32)
+            u = r.integers(0, 10, (B, W)).astype(np.int32)
+            il = np.full((B,), T, np.int32)
+            a = tone_latent.beam_search_decode(
+                jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+                jnp.asarray(t), jnp.asarray(u), jnp.asarray(il),
+                empty_tone_id=2,
+            )
+            b = beam_pallas.tone_beam_search_decode(
+                jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+                jnp.asarray(t), jnp.asarray(u), jnp.asarray(il),
+                empty_tone_id=2,
+            )
+            names = ["pred", "log_prob", "next_t", "next_u", "fin",
+                     "branch"]
+            for k, xa, xb in zip(names, a, b):
+                np.testing.assert_array_equal(
+                    np.asarray(xa), np.asarray(xb),
+                    err_msg=f"B{B}W{W}K{K} trial {trial} {k}",
+                )
+
+
+def test_tone_pipeline_equal():
+    """Full tone_decode: use_pallas=True (interpret) == XLA path."""
+    from ssnt_tts_tpu.models import SSNTModel
+    from ssnt_tts_tpu.parallel import decode as decode_lib
+    from ssnt_tts_tpu.parallel import train as train_lib
+    from ssnt_tts_tpu.utils.config import TrainConfig, tiny_model_config
+
+    cfg = tiny_model_config()
+    model = SSNTModel(cfg)
+    B, T, U, W = 2, 6, 12, 3
+    r = np.random.default_rng(0)
+    tokens = jnp.asarray(r.integers(1, cfg.vocab_size, (B, T)), jnp.int32)
+    il = jnp.asarray([T, T - 2], jnp.int32)
+    batch = {
+        "tokens": tokens,
+        "mel": jnp.asarray(r.normal(0, 1, (B, U, cfg.mel_dim)), jnp.float32),
+        "input_length": il,
+        "output_length": jnp.full((B,), U, jnp.int32),
+    }
+    state = train_lib.init_train_state(
+        model, jax.random.PRNGKey(0), batch, TrainConfig(warmup_steps=2)
+    )
+    out_x = decode_lib.tone_decode(
+        model, state.params, tokens, il, beam_width=W, use_pallas=False
+    )
+    out_p = decode_lib.tone_decode(
+        model, state.params, tokens, il, beam_width=W, use_pallas=True
+    )
+    for k in ["tones", "prediction", "beam_branch", "log_prob"]:
+        np.testing.assert_array_equal(
+            np.asarray(out_x[k]), np.asarray(out_p[k]), err_msg=k
+        )

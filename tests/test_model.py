@@ -277,8 +277,11 @@ def test_bf16_lattice_training(monkeypatch):
 
     # The bf16 config must actually select the bf16 kernel variant.
     fn16 = _lattice_loss_fn("pallas", "bfloat16")
-    assert fn16.keywords.get("variant") == "bf16"
-    assert "variant" not in _lattice_loss_fn("pallas", "float32").keywords
+    assert fn16.base.keywords.get("variant") == "bf16"
+    assert (
+        "variant"
+        not in _lattice_loss_fn("pallas", "float32").base.keywords
+    )
 
     _, _, loss32, g32 = loss_and_grads("float32")
     model16, state16, loss16, g16 = loss_and_grads("bfloat16")
