@@ -148,6 +148,44 @@ def main():
             extras["lattice_fwd_pallas_Mcells_per_s"] = round(
                 cells / dt_fwd_pallas / 1e6, 1
             )
+            # Exp-native path (ModelConfig.lattice_domain="exp"): the
+            # joints emit probabilities and the transcendental-free
+            # kernel runs (ops/lattice_pallas.ssnt_loss_expin; NLL and
+            # grads equal the log path to f32 accuracy —
+            # docs/LATTICE_FLOOR.md). Priced at its own 56 B/cell
+            # (kernel reads E,S,F twice 24 + writes qn,bn 8; posterior
+            # reads qn,bn,F 12 + writes dE,dS,dF 12).
+            _prog("pallas expin...")
+            E_in = jnp.exp(le)
+            S_in = jnp.exp(ls)
+            mcol_in = jnp.max(lf, axis=2)
+            F_in = jnp.exp(lf - mcol_in[:, :, None])
+            expin_len = lambda e, s, f, m, il: (
+                lattice_pallas.ssnt_loss_expin(e, s, f, m, il, U_b)
+            )
+
+            def _expin_step(il_c):
+                g = jax.grad(
+                    lambda e, s, f, m: jnp.sum(
+                        expin_len(e, s, f, m, il_c)
+                    ),
+                    argnums=(0, 1, 2, 3),
+                )(E_in, S_in, F_in, mcol_in)
+                eps = (
+                    g[0][0, 0, 0] + g[1][0, 0, 0] + g[2][0, 0, 0]
+                    + g[3][0, 0]
+                )
+                return il_c + (eps > 1e30).astype(jnp.int32)
+
+            from ssnt_tts_tpu.utils.timing import bench_step as _bs2
+            dt_expin = _bs2(_expin_step, T_b)
+            mc_expin = cells / dt_expin / 1e6
+            extras["lattice_fwdbwd_expin_Mcells_per_s"] = round(
+                mc_expin, 1
+            )
+            extras["expin_vs_target"] = round(
+                mc_expin / (0.7 * 819e9 / 56.0 / 1e6), 3
+            )
             # Cross-check implementations agree on hardware.
             delta = float(
                 jnp.max(

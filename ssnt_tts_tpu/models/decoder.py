@@ -77,6 +77,7 @@ class TransitionJoint(nn.Module):
     rank: int = 64
     dtype: Any = jnp.bfloat16
     lattice_dtype: Any = jnp.float32
+    lattice_domain: str = "log"  # "log": (le, ls); "exp": (E, S) probs
 
     def setup(self):
         self.enc_proj = nn.Dense(2 * self.rank, dtype=self.dtype)
@@ -111,6 +112,13 @@ class TransitionJoint(nn.Module):
         le, ls = logits[..., 0], logits[..., 1]
         norm = jnp.logaddexp(le, ls)
         out_dtype = jnp.dtype(self.lattice_dtype)
+        if self.lattice_domain == "exp":
+            # Probability-domain lattice (ssnt_loss_expin): the softmax
+            # this head computes anyway, without the final log.
+            return (
+                jnp.exp(le - norm).astype(out_dtype),
+                jnp.exp(ls - norm).astype(out_dtype),
+            )
         return (le - norm).astype(out_dtype), (ls - norm).astype(out_dtype)
 
     def step(self, enc_t, dec_state) -> jax.Array:
@@ -133,6 +141,7 @@ class FrameJoint(nn.Module):
     mel_dim: int
     dtype: Any = jnp.bfloat16
     lattice_dtype: Any = jnp.float32
+    lattice_domain: str = "log"  # "exp": (F, mcol) instead of lf
     log_sigma_init: float = 0.0
 
     def setup(self):
@@ -159,6 +168,15 @@ class FrameJoint(nn.Module):
             jnp.log(2.0 * jnp.pi) + 2.0 * self.log_sigma
         )
         out = -0.5 * inv_var * sq_err + const
+        if self.lattice_domain == "exp":
+            # Column-max-normalized likelihoods for ssnt_loss_expin:
+            # F = exp(lf - max_t lf) in (0, 1] plus the (U, B) scalar.
+            mcol = jnp.max(out, axis=2)
+            F = jnp.exp(out - mcol[:, :, None])
+            return (
+                F.astype(jnp.dtype(self.lattice_dtype)),
+                mcol.astype(jnp.float32),
+            )
         return out.astype(jnp.dtype(self.lattice_dtype))
 
     def predict(self, enc_t, dec_state) -> jax.Array:

@@ -42,13 +42,45 @@ from ssnt_tts_tpu.ops import lattice, lattice_pallas
 from ssnt_tts_tpu.utils.config import ModelConfig
 
 
-def _lattice_loss_fn(impl: str, lattice_dtype: str = "float32"):
+def _lattice_loss_fn(impl: str, lattice_dtype: str = "float32",
+                     lattice_domain: str = "log"):
     """Loss impl in the framework-native time-major (U, B, T) layout (the
     joints emit it directly; no full-lattice transposes anywhere).
 
     lattice_dtype="bfloat16" + the Pallas backend selects the bf16-storage
     kernel variant (26 B/cell; ModelConfig.lattice_dtype docs). The XLA
-    backend ignores it (canonicalization upcasts to f32)."""
+    backend ignores it (canonicalization upcasts to f32).
+
+    lattice_domain="exp": the returned fn takes the joints' exp-native
+    quadruple (E, S, F, mcol) and runs ssnt_loss_expin (the
+    transcendental-free Pallas path; interpret mode off-TPU). Under an
+    active tshard_lattice context the inputs are log-ified and routed to
+    the T-sharded loss (correctness over speed for the long-context
+    escape hatch)."""
+    if lattice_domain == "exp":
+
+        def dispatch_exp(E, S, F, mcol, input_length, output_length):
+            from ssnt_tts_tpu.ops import lattice_sharded
+
+            U, B, T = E.shape
+            ts = lattice_sharded.active_tshard(U, B, T)
+            if ts is not None:
+                mesh, axis = ts
+                tiny = jnp.float32(1e-38)
+                lf = jnp.log(jnp.maximum(F, tiny)) + mcol[:, :, None]
+                return lattice_sharded.ssnt_loss_tsharded(
+                    jnp.log(jnp.maximum(E, tiny)),
+                    jnp.log(jnp.maximum(S, tiny)),
+                    lf.astype(jnp.float32), input_length, output_length,
+                    mesh, axis=axis,
+                )
+            return lattice_pallas.ssnt_loss_expin(
+                E, S, F, mcol, input_length, output_length
+            )
+
+        dispatch_exp.base = lattice_pallas.ssnt_loss_expin
+        return dispatch_exp
+
     if impl == "pallas":
         fn = lattice_pallas.ssnt_loss_pallas
     elif impl == "xla":
@@ -105,10 +137,12 @@ class SSNTModel(nn.Module):
         lattice_dtype = jnp.dtype(cfg.lattice_dtype)
         self.ar_cell = ARDecoderCell(cfg.decoder_dim, dtype=dtype)
         self.transition = TransitionJoint(
-            rank=cfg.joint_rank, dtype=dtype, lattice_dtype=lattice_dtype
+            rank=cfg.joint_rank, dtype=dtype, lattice_dtype=lattice_dtype,
+            lattice_domain=cfg.lattice_domain,
         )
         self.frame = FrameJoint(
-            mel_dim=cfg.mel_dim, dtype=dtype, lattice_dtype=lattice_dtype
+            mel_dim=cfg.mel_dim, dtype=dtype, lattice_dtype=lattice_dtype,
+            lattice_domain=cfg.lattice_domain,
         )
         self.duration_head = DurationHead(
             cfg.duration_class_size, cfg.encoder_dim, dtype=dtype
@@ -178,10 +212,17 @@ class SSNTModel(nn.Module):
         return dec[:, :U]
 
     def lattice_quantities(self, enc, dec, mel_target):
-        """Time-major (U, B, T) lattice quantities (native kernel layout)."""
-        log_emit, log_shift = self.transition(enc, dec)
-        log_frame = self.frame(enc, dec, mel_target)
-        return log_emit, log_shift, log_frame
+        """Time-major (U, B, T) lattice quantities (native kernel layout).
+
+        lattice_domain="log": (log_emit, log_shift, log_frame).
+        lattice_domain="exp": (E, S, F, mcol) — probabilities + the
+        column-max scalars, consumed by ssnt_loss_expin."""
+        a, b = self.transition(enc, dec)
+        f = self.frame(enc, dec, mel_target)
+        if self.config.lattice_domain == "exp":
+            F, mcol = f
+            return a, b, F, mcol
+        return a, b, f
 
     # ------------------------------------------------------------ training
 
@@ -190,11 +231,12 @@ class SSNTModel(nn.Module):
         """Training forward: per-example SSNT NLL (B,)."""
         enc = self.encode(tokens, input_length)
         dec = self.decoder_states(mel_target)
-        le, ls, lf = self.lattice_quantities(enc, dec, mel_target)
+        q = self.lattice_quantities(enc, dec, mel_target)
         loss_fn = _lattice_loss_fn(
-            self.config.lattice_impl, self.config.lattice_dtype
+            self.config.lattice_impl, self.config.lattice_dtype,
+            self.config.lattice_domain,
         )
-        return loss_fn(le, ls, lf, input_length, output_length)
+        return loss_fn(*q, input_length, output_length)
 
     def loss(self, tokens, mel_target, input_length=None, output_length=None,
              duration_target=None, tone_target=None):
@@ -207,11 +249,12 @@ class SSNTModel(nn.Module):
         T = tokens.shape[1]
         enc = self.encode(tokens, input_length)
         dec = self.decoder_states(mel_target)
-        le, ls, lf = self.lattice_quantities(enc, dec, mel_target)
+        q = self.lattice_quantities(enc, dec, mel_target)
         loss_fn = _lattice_loss_fn(
-            self.config.lattice_impl, self.config.lattice_dtype
+            self.config.lattice_impl, self.config.lattice_dtype,
+            self.config.lattice_domain,
         )
-        nll = loss_fn(le, ls, lf, input_length, output_length)
+        nll = loss_fn(*q, input_length, output_length)
         if output_length is None:
             frames = jnp.full((B,), U, jnp.float32)
         else:

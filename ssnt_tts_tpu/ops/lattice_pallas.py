@@ -1269,3 +1269,287 @@ def ssnt_loss_pallas(log_emit, log_shift, log_frame=None, input_length=None,
 
         return lattice_scan.ssnt_loss_scan(*args[:5], layout="ubt")
     return _core(*args, chunk, variant)
+
+
+# ------------------------------------------- exp-native loss ("expin")
+#
+# The log-API kernels are VPU-issue-bound at small batch, and ~55% of the
+# issue slots are the per-cell exp/log1p pairs of logaddexp
+# (docs/LATTICE_FLOOR.md). Those transcendentals exist ONLY because the
+# interface carries log-probs: the model's joints compute the transition
+# probabilities E = exp(log_emit), S = exp(log_shift) natively (softmax),
+# and the frame likelihood factors as exp(lf) = F * exp(mcol) with
+# F = exp(lf - max_t lf) in (0, 1] and a per-(u, b) scalar mcol. With
+# inputs in that form the whole forward-backward runs multiply-add:
+#
+#   q_u   = p * E_{u-1} + shift_t(p * S_{u-1});  s = rowmax(q)
+#   qn_u  = q / s;  p = qn_u * F_u;   M_u = M_{u-1} + log s + mcol_u
+#   alpha = log(qn_u * F_u) + M_u                      (never materialized)
+#
+# (mirrored for beta), with per-cell state all in [0, 1] (q <= 1 because
+# p <= max F <= 1 and E + S = 1), per-column scalar normalizers, and NO
+# per-cell transcendentals anywhere — the only exps/logs touch (B, 1)
+# scalars. The posteriors are then PRODUCTS of stored fields times
+# per-column scalar exponentials, and the grads returned are wrt the
+# exp-domain inputs themselves:
+#
+#   dE[t,u] = -g * qn_u F_u * cont_emit(u)      * scale_a(u)
+#   dS[t,u] = -g * qn_u F_u * shift^-1(cont)(u) * scale_a(u)
+#   dF[t,u] = -g * qn_u bn_u * exp(M_u + N_u - logz)   (no division: the
+#             F factor of the occupancy posterior cancels analytically)
+#   dmcol[u] = -g * [u < out_len]   (occupancy sums to 1 per live column)
+#
+# Numerics: identical flush-to-zero horizon as variant="exp" (cells more
+# than ~87 nats below the running column max flush to exactly 0, far
+# below f32 logaddexp's ~17-nat contribution horizon); equality vs the
+# log path is asserted to f32 accuracy in tests/test_lattice_pallas.py.
+
+
+def _bidir_kernel_expin(in_len_ref, out_len_ref,
+                        E_f_ref, S_f_ref, F_f_ref, mc_f_ref,
+                        E_b_ref, S_b_ref, F_b_ref, mc_b_ref,
+                        qn_out_ref, bn_out_ref, M_out_ref, N_out_ref,
+                        p_s, m_s, eprev_s, sprev_s,
+                        c_s, n_s, *, chunk):
+    B, T = p_s.shape
+    block_id = pl.program_id(0)
+    nblocks = pl.num_programs(0)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+    first_t = (t_ids == 0).astype(jnp.float32)
+    is_last_t = t_ids == in_len_ref[:] - 1
+    out_len = out_len_ref[:]  # (B, 1)
+
+    @pl.when(block_id == 0)
+    def _():
+        # Forward virtual carry: p = onehot(t==0) with E_prev = 1,
+        # S_prev = 0 makes q_0 = onehot(t==0) -> alpha_0 = lf_0 at t=0.
+        p_s[:] = first_t
+        m_s[:] = jnp.zeros((B, 1))
+        eprev_s[:] = jnp.ones((B, T))
+        sprev_s[:] = jnp.zeros((B, T))
+        c_s[:] = jnp.zeros((B, T))
+        n_s[:] = jnp.zeros((B, 1))
+
+    def shift0_down(x):
+        rolled = pltpu.roll(x, shift=1, axis=1)
+        return jnp.where(t_ids == 0, 0.0, rolled)
+
+    def shift0_up(x):
+        rolled = pltpu.roll(x, shift=T - 1, axis=1)
+        return jnp.where(t_ids == T - 1, 0.0, rolled)
+
+    p = p_s[:]
+    m = m_s[:]
+    e_prev = eprev_s[:]
+    s_prev = sprev_s[:]
+    c = c_s[:]
+    n = n_s[:]
+    base_u_b = (nblocks - 1 - block_id) * chunk
+    for j in range(chunk):
+        jb = chunk - 1 - j
+        # ---------------- forward column ----------------
+        q = p * e_prev + shift0_down(p * s_prev)
+        s = jnp.maximum(jnp.max(q, axis=1, keepdims=True), _TINY)
+        qn = q * pl.reciprocal(s, approx=False)
+        qn_out_ref[j] = qn
+        m = m + jnp.log(s) + mc_f_ref[j][:, None]
+        M_out_ref[j] = m[:, 0]
+        p = qn * F_f_ref[j]
+        e_prev = E_f_ref[j]
+        s_prev = S_f_ref[j]
+        # ---------------- backward column ----------------
+        u_b = base_u_b + jb
+        is_init = u_b == out_len - 1  # (B, 1)
+        E_b = E_b_ref[jb]
+        b_raw = E_b * c + S_b_ref[jb] * shift0_up(c)
+        b_raw = jnp.where(
+            is_init, jnp.where(is_last_t, E_b, 0.0), b_raw
+        )
+        # c carried = F[u+1] * bn[u+1]; scalar part = mcol[u+1] + N[u+1],
+        # zeroed at init (beta_init = log E exactly).
+        sb = jnp.maximum(jnp.max(b_raw, axis=1, keepdims=True), _TINY)
+        bn = b_raw * pl.reciprocal(sb, approx=False)
+        bn_out_ref[jb] = bn
+        n = jnp.where(is_init, 0.0, n) + jnp.log(sb)
+        N_out_ref[jb] = n[:, 0]
+        c = F_b_ref[jb] * bn
+        n = n + mc_b_ref[jb][:, None]  # feeds column u_b - 1
+    p_s[:] = p
+    m_s[:] = m
+    eprev_s[:] = e_prev
+    sprev_s[:] = s_prev
+    c_s[:] = c
+    n_s[:] = n
+
+
+def fused_expin_pallas(E, S, F, mcol, input_length, output_length,
+                       *, chunk: int = 16):
+    """(U, B, T) prob-domain inputs -> (qn, bn (U, B, T), M, N (U, B)).
+
+    alpha[u] = log(qn[u] * F[u]) + M[u]; beta[u] = log(bn[u]) + N[u]."""
+    U, B, T = E.shape
+    assert U % chunk == 0
+    nblocks = U // chunk
+    fwd = pl.BlockSpec(
+        (chunk, B, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    bwd = pl.BlockSpec(
+        (chunk, B, T), lambda i: (nblocks - 1 - i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    fwd2 = pl.BlockSpec(
+        (chunk, B), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    bwd2 = pl.BlockSpec(
+        (chunk, B), lambda i: (nblocks - 1 - i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    len_spec = pl.BlockSpec(
+        (B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_bidir_kernel_expin, chunk=chunk),
+        grid=(nblocks,),
+        in_specs=[len_spec, len_spec,
+                  fwd, fwd, fwd, fwd2, bwd, bwd, bwd, bwd2],
+        out_specs=(fwd, bwd, fwd2, bwd2),
+        out_shape=(
+            jax.ShapeDtypeStruct((U, B, T), jnp.float32),
+            jax.ShapeDtypeStruct((U, B, T), jnp.float32),
+            jax.ShapeDtypeStruct((U, B), jnp.float32),
+            jax.ShapeDtypeStruct((U, B), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, T), jnp.float32),  # p
+            pltpu.VMEM((B, 1), jnp.float32),  # M carry
+            pltpu.VMEM((B, T), jnp.float32),  # E_prev
+            pltpu.VMEM((B, T), jnp.float32),  # S_prev
+            pltpu.VMEM((B, T), jnp.float32),  # c = F*bn next
+            pltpu.VMEM((B, 1), jnp.float32),  # N carry
+        ],
+        interpret=_interpret(),
+    )(
+        input_length.reshape(B, 1).astype(jnp.int32),
+        output_length.reshape(B, 1).astype(jnp.int32),
+        E, S, F, mcol, E, S, F, mcol,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _expin_core(E, S, F, mcol, input_length, output_length, chunk):
+    loss, _ = _expin_fwd(E, S, F, mcol, input_length, output_length, chunk)
+    return loss
+
+
+def _expin_fwd(E, S, F, mcol, input_length, output_length, chunk):
+    U, B, T = E.shape
+    c = _auto_chunk(B, T, chunk, streams=10)
+    pad = (-U) % c
+    if pad:
+        zf = lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+        )
+        Ep, Sp, Fp, mcp = zf(E), zf(S), zf(F), zf(mcol)
+    else:
+        Ep, Sp, Fp, mcp = E, S, F, mcol
+    qn, bn, M, N = fused_expin_pallas(
+        Ep, Sp, Fp, mcp, input_length, output_length, chunk=c
+    )
+    qn, bn, M, N = qn[:U], bn[:U], M[:U], N[:U]
+    # logz = alpha[u_last, t_last] + le[u_last, t_last]
+    #      = log(qn * F * E at the final cell) + M[u_last]
+    b_idx = jnp.arange(B)
+    u_last = jnp.clip(output_length - 1, 0, U - 1)
+    t_last = jnp.clip(input_length - 1, 0, T - 1)
+    cell = (
+        qn[u_last, b_idx, t_last]
+        * F[u_last, b_idx, t_last]
+        * E[u_last, b_idx, t_last]
+    )
+    logz = jnp.where(
+        cell > 0.0, jnp.log(jnp.maximum(cell, _TINY)) + M[u_last, b_idx],
+        NEG,
+    )
+    res = (E, S, F, mcol, qn, bn, M, N, logz, input_length,
+           output_length)
+    return -logz, res
+
+
+def _expin_bwd(chunk, res, g):
+    (E, S, F, mcol, qn, bn, M, N, logz, input_length,
+     output_length) = res
+    U, B, T = E.shape
+    u_idx = jnp.arange(U)[:, None, None]
+    t_idx = jnp.arange(T)[None, None, :]
+    in_len = input_length[None, :, None]
+    out_len = output_length[None, :, None]
+    valid = (t_idx < in_len) & (u_idx < out_len)
+    is_last_u = u_idx == out_len - 1
+    is_last_t = t_idx == in_len - 1
+
+    logz2 = logz[None, :]  # (1, B) vs (U, B) scalars
+    degenerate = logz[None, :, None] <= NEG / 2
+    gB = jnp.where(degenerate | ~valid, 0.0, -g[None, :, None])
+
+    def scal(x):  # (U, B) clipped scalar exponential -> (U, B, 1)
+        return jnp.exp(jnp.minimum(x - logz2, 30.0))[:, :, None]
+
+    # Continuation pieces at u+1: vector c = F * bn, scalar mcol + N.
+    c_vec = F * bn
+    c_next = jnp.concatenate([c_vec[1:], jnp.zeros((1, B, T))], axis=0)
+    cs_next = jnp.concatenate([(mcol + N)[1:], jnp.full((1, B), NEG)],
+                              axis=0)
+    scale_c = scal(M + cs_next)     # emit/shift continuation scale
+    scale_t = scal(M)               # terminal-emit scale
+    scale_f = scal(M + N)           # occupancy scale
+
+    qnF = qn * F
+    d_E = gB * jnp.where(
+        is_last_u,
+        qnF * is_last_t.astype(jnp.float32) * scale_t,
+        qnF * c_next * scale_c,
+    )
+    shifted_c = jnp.concatenate(
+        [c_next[:, :, 1:], jnp.zeros((U, B, 1))], axis=2
+    )
+    d_S = gB * jnp.where(is_last_u, 0.0, qnF * shifted_c * scale_c)
+    # Occupancy: post_lf = qn*F*bn*scale_f; the F factor cancels in d/dF.
+    d_F = gB * qn * bn * scale_f
+    # d/dmcol[u, b] = sum_t d/dlf = sum_t signed post_lf.
+    d_mcol = jnp.sum(d_F * F, axis=2)  # (U, B)
+    return d_E, d_S, d_F, d_mcol, None, None
+
+
+_expin_core.defvjp(_expin_fwd, _expin_bwd)
+
+
+def ssnt_loss_expin(E, S, F, mcol, input_length=None, output_length=None,
+                    *, chunk: int = 16):
+    """SSNT NLL on exp-native (probability-domain) inputs — the
+    transcendental-free fast path for the issue-bound small-batch regime
+    (docs/LATTICE_FLOOR.md).
+
+    Args (time-major):
+      E, S: (U, B, T) f32 emit/shift probabilities (E + S = 1 per cell —
+        exactly what TransitionJoint's softmax produces before any log).
+      F: (U, B, T) f32 column-max-normalized frame likelihoods
+        exp(lf - mcol), in (0, 1].
+      mcol: (U, B) f32 per-column max frame log-likelihood max_t lf.
+      input_length, output_length: optional (B,) i32.
+
+    Returns (B,) NLL identical to ssnt_loss(log E, log S, log F + mcol)
+    to f32 accuracy; gradients are wrt (E, S, F, mcol) — related to the
+    log-API grads by the exact chain rule d_le = E * d_E etc.
+    (tests/test_lattice_pallas.py asserts both).
+    """
+    U, B, T = E.shape
+    if input_length is None:
+        input_length = jnp.full((B,), T, jnp.int32)
+    if output_length is None:
+        output_length = jnp.full((B,), U, jnp.int32)
+    return _expin_core(
+        E.astype(jnp.float32), S.astype(jnp.float32),
+        F.astype(jnp.float32), mcol.astype(jnp.float32),
+        jnp.asarray(input_length, jnp.int32),
+        jnp.asarray(output_length, jnp.int32), chunk,
+    )

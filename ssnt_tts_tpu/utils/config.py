@@ -67,6 +67,16 @@ class ModelConfig:
     # Lattice loss backend: "auto" uses the Pallas kernels on TPU and the
     # XLA scan elsewhere; "xla"/"pallas" force one.
     lattice_impl: str = "auto"
+    # Domain of the lattice quantities the joints emit. "log" (default):
+    # log-prob arrays (le, ls, lf) — the reference-conformant API the
+    # fp64 oracle checks. "exp": the joints emit probabilities directly
+    # (E, S from the transition softmax; column-max-normalized F + mcol
+    # from the frame joint) and the loss runs the transcendental-free
+    # exp-native Pallas path (ops/lattice_pallas.ssnt_loss_expin) — the
+    # fast path for the issue-bound small-batch regime
+    # (docs/LATTICE_FLOOR.md). Loss/grads match the log path to f32
+    # accuracy (tests/test_lattice_pallas.py, tests/test_model.py).
+    lattice_domain: str = "log"
     # Storage dtype of the (U, B, T) lattice quantities the joints emit.
     # "float32" (default): exact-contract lattice loss. "bfloat16": the
     # joints emit bf16 lattices and the Pallas loss runs its 26 B/cell

@@ -362,3 +362,64 @@ def test_fusedpack_is_the_headline_dispatch():
     kernel (B*T = 2560 -> 20 rows >= 8); tiny unpackable shapes fall back."""
     assert lattice_pallas._grad_mode("log", 32, 80) == ("fusedpack", 0)
     assert lattice_pallas._grad_mode("log", 4, 8) == ("fused", 0)
+
+
+def test_expin_matches_log_path():
+    """Exp-native loss (ssnt_loss_expin on E, S, F, mcol) == log path to
+    f32 accuracy: loss, chain-ruled grads (d_le = E*dE, d_ls = S*dS,
+    d_lf = F*dF — the max-route terms cancel exactly), the dmcol/dF sum
+    identity, and finite differences on mcol."""
+    rng = np.random.default_rng(3)
+    U, B, T = 24, 3, 8
+    le = np.log(rng.uniform(0.1, 0.9, (U, B, T))).astype(np.float32)
+    ls = np.log1p(-np.exp(le)).astype(np.float32)
+    lf = rng.normal(0, 0.5, (U, B, T)).astype(np.float32)
+    il = np.array([8, 6, 5], np.int32)
+    ol = np.array([24, 17, 11], np.int32)
+
+    E = jnp.exp(jnp.asarray(le))
+    S = jnp.exp(jnp.asarray(ls))
+    mcol = jnp.max(jnp.asarray(lf), axis=2)
+    F = jnp.exp(lf - mcol[:, :, None])
+
+    loss_e, g_e = jax.value_and_grad(
+        lambda E_, S_, F_, m_: jnp.sum(
+            lattice_pallas.ssnt_loss_expin(E_, S_, F_, m_, il, ol,
+                                           chunk=8)
+        ), argnums=(0, 1, 2, 3),
+    )(E, S, F, mcol)
+    loss_x, g_x = jax.value_and_grad(
+        lambda a, b, c: jnp.sum(
+            lattice.ssnt_loss(a, b, c, il, ol, layout="ubt")
+        ),
+        argnums=(0, 1, 2),
+    )(jnp.asarray(le), jnp.asarray(ls), jnp.asarray(lf))
+    np.testing.assert_allclose(float(loss_e), float(loss_x), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(E * g_e[0]), np.asarray(g_x[0]), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(S * g_e[1]), np.asarray(g_x[1]), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(F * g_e[2]), np.asarray(g_x[2]), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_e[3]), np.asarray((F * g_e[2]).sum(2)), rtol=1e-4,
+        atol=1e-6,
+    )
+
+    def loss_at(mc):
+        return float(jnp.sum(lattice_pallas.ssnt_loss_expin(
+            E, S, F, jnp.asarray(mc), il, ol, chunk=8)))
+
+    mc0 = np.asarray(mcol).copy()
+    for (uu, bb) in [(0, 0), (5, 1), (10, 2)]:
+        eps = 1e-3
+        mp = mc0.copy()
+        mp[uu, bb] += eps
+        mm = mc0.copy()
+        mm[uu, bb] -= eps
+        fd = (loss_at(mp) - loss_at(mm)) / (2 * eps)
+        an = float(np.asarray(g_e[3])[uu, bb])
+        assert abs(fd - an) < 5e-2, (uu, bb, fd, an)

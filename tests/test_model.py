@@ -311,3 +311,59 @@ def test_bf16_lattice_training(monkeypatch):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_exp_domain_lattice_training(monkeypatch):
+    """ModelConfig.lattice_domain="exp" end-to-end: the joints emit
+    (E, S, F, mcol), the loss runs ssnt_loss_expin, loss/param-grads
+    track the log-domain config, and a short training run converges."""
+    from ssnt_tts_tpu.ops import lattice_pallas
+
+    monkeypatch.setattr(lattice_pallas, "_INTERPRET", True)
+    rng = np.random.default_rng(4)
+    Bq, Tq, Uq = 2, 5, 12
+    batch = {
+        "tokens": jnp.asarray(rng.integers(1, 32, (Bq, Tq)), jnp.int32),
+        "mel": jnp.asarray(rng.normal(0, 1, (Bq, Uq, 8)), jnp.float32),
+        "input_length": jnp.asarray([Tq, Tq - 1], jnp.int32),
+        "output_length": jnp.asarray([Uq, Uq - 4], jnp.int32),
+    }
+    tcfg = TrainConfig(warmup_steps=2, batch_size=Bq)
+
+    def loss_and_grads(domain):
+        cfg = tiny_model_config(lattice_domain=domain)
+        model = SSNTModel(cfg)
+        state = train_lib.init_train_state(
+            model, jax.random.PRNGKey(0), batch, tcfg
+        )
+
+        def lf(p):
+            nll = model.apply(
+                p, batch["tokens"], batch["mel"], batch["input_length"],
+                batch["output_length"],
+            )
+            return jnp.mean(nll)
+
+        loss, grads = jax.value_and_grad(lf)(state.params)
+        return model, state, float(loss), grads
+
+    _, _, loss_log, g_log = loss_and_grads("log")
+    model_e, state_e, loss_exp, g_exp = loss_and_grads("exp")
+    np.testing.assert_allclose(loss_exp, loss_log, rtol=1e-4)
+    fl = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g_log)])
+    fe = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g_exp)])
+    cos = float(
+        jnp.vdot(fl, fe)
+        / (jnp.linalg.norm(fl) * jnp.linalg.norm(fe) + 1e-12)
+    )
+    assert cos > 0.999, cos
+
+    tx = train_lib.make_optimizer(tcfg)
+    step = jax.jit(lambda s, b: train_lib.train_step(model_e, tx, s, b))
+    losses = []
+    state = state_e
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
