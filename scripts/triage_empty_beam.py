@@ -94,11 +94,11 @@ def main():
     ol = jnp.asarray(ev["output_length"])
     dtab = jnp.asarray(cfg.duration_table, jnp.int32)
 
-    def run_decode(params, allow_skip=False, config=None):
+    def run_decode(params, allow_skip=False, config=None, beam=None):
         out = jax.jit(
             lambda p: decode_lib.v2_duration_decode(
                 model, p, tokens, il, ol, dtab,
-                beam_width=args.beam, max_frames=U,
+                beam_width=beam or args.beam, max_frames=U,
                 allow_skip=allow_skip, collect_diagnostics=True,
                 config=config,
             )
@@ -161,6 +161,11 @@ def main():
         "band_x4": dict(
             config=V2BeamConfig(band_upper_frac=0.4, band_lower_frac=0.2)
         ),
+        # Beam capacity: emptying is a duration-diversity question (the
+        # beam must CARRY a hypothesis whose cumulative duration can land
+        # exactly on output_length at t = T-1).
+        "beam_x2": dict(beam=2 * args.beam),
+        "beam_x4": dict(beam=4 * args.beam),
     }
     for name, kw in sweeps.items():
         r = run_decode(state.params, **kw)
