@@ -62,3 +62,14 @@ if "logchain" in which:
         return il_c + (eps > 1e30).astype(jnp.int32)
 
     show("logapi grad (len-chain)", bench_step(step2, T_b))
+
+if "kernel" in which:
+    # Kernel-only: where does the 199 us go (kernel vs posterior)?
+    def kstep(il_c):
+        qn, bn, M, N = lattice_pallas.fused_expin_pallas(
+            E, S, F, mcol, il_c, U_b, chunk=16
+        )
+        eps = qn[0, 0, 0] + bn[0, 0, 0] + M[0, 0] + N[0, 0]
+        return il_c + (eps > 1e30).astype(jnp.int32)
+
+    show("expin kernel only    ", bench_step(kstep, T_b))
