@@ -107,12 +107,22 @@ def _shift_up_k(x, k):
 
 # ------------------------------------------------------------------ forward
 
-def _fwd_kernel(le_ref, ls_ref, lf_ref, alpha_out_ref,
+def _fwd_kernel(il_ref, le_ref, ls_ref, lf_ref, alpha_out_ref,
                 alpha_s, le_s, ls_s, *, chunk):
     """Statically unrolled column walk: per column only VPU elementwise ops
     with static VMEM indices — no fori_loop bookkeeping, no dynamic slices,
     no per-column branches (the u==0 init is a select, true only in the very
-    first column of block 0)."""
+    first column of block 0).
+
+    il_ref (input_length) is accepted but unused by the recursion (alphas
+    past an example's true T are garbage the consumers mask, exactly like
+    the XLA reference). It exists so the pallas_call DEPENDS on the
+    per-step state of chained measurements and real train steps: without
+    it the forward was loop-INVARIANT under a length-threaded timing
+    chain and XLA legally hoisted it out of the loop, inflating the
+    B=256 grad numbers past the physical HBM roofline (890 GB/s
+    apparent) — caught in round 4 by pricing every number against
+    physics."""
     B, T = alpha_s.shape
     block_id = pl.program_id(0)
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
@@ -136,19 +146,26 @@ def _fwd_kernel(le_ref, ls_ref, lf_ref, alpha_out_ref,
     ls_s[:] = ls_prev
 
 
-def forward_alphas_pallas(le, ls, lf, *, chunk: int = 16):
+def forward_alphas_pallas(le, ls, lf, input_length=None, *,
+                          chunk: int = 16):
     """(U, B, T) inputs -> (U, B, T) alphas. U must be a multiple of chunk
-    (callers pad)."""
+    (callers pad). input_length participates only as a dependency (see
+    _fwd_kernel docstring)."""
     U, B, T = le.shape
     assert U % chunk == 0, (U, chunk)
+    if input_length is None:
+        input_length = jnp.full((B,), T, jnp.int32)
     grid = (U // chunk,)
     block = pl.BlockSpec(
         (chunk, B, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    len_spec = pl.BlockSpec(
+        (B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, chunk=chunk),
         grid=grid,
-        in_specs=[block, block, block],
+        in_specs=[len_spec, block, block, block],
         out_specs=block,
         out_shape=jax.ShapeDtypeStruct((U, B, T), jnp.float32),
         scratch_shapes=[
@@ -157,7 +174,10 @@ def forward_alphas_pallas(le, ls, lf, *, chunk: int = 16):
             pltpu.VMEM((B, T), jnp.float32),
         ],
         interpret=_interpret(),
-    )(le, ls, lf)
+    )(
+        jnp.asarray(input_length, jnp.int32).reshape(B, 1),
+        le, ls, lf,
+    )
 
 
 # ------------------------------------------------- banded forward (K-band)
@@ -1043,7 +1063,7 @@ def _small_column(B: int, T: int) -> bool:
     return B * _t_pad(T) <= _FUSED_MAX_COLUMN_ELEMS
 
 
-def _forward_dispatch(le, ls, lf, chunk, kband):
+def _forward_dispatch(le, ls, lf, input_length, chunk, kband):
     """kband=0: plain column walk; kband>=2: K-banded chain."""
     U, B, T = le.shape
     if kband:
@@ -1055,7 +1075,8 @@ def _forward_dispatch(le, ls, lf, chunk, kband):
         )[:U]
     c = _auto_chunk(B, T, chunk, streams=4)
     return forward_alphas_pallas(
-        _pad_u(le, c), _pad_u(ls, c), _pad_u(lf, c), chunk=c
+        _pad_u(le, c), _pad_u(ls, c), _pad_u(lf, c), input_length,
+        chunk=c,
     )[:U]
 
 
@@ -1077,7 +1098,8 @@ def _loss_fwd_impl(le, ls, lf, input_length, output_length, chunk, variant):
         # "fused" alphas come from the identical log-domain column walk as
         # "plain" (same op order), so the plain forward kernel is value-exact
         # for it and skips the wasted beta half.
-        alphas = _forward_dispatch(le, ls, lf, chunk, kband=kband)
+        alphas = _forward_dispatch(le, ls, lf, input_length, chunk,
+                                   kband=kband)
     logz = _gather_logz(alphas, le, input_length, output_length)
     return logz, (le, ls, lf, alphas)
 
@@ -1143,7 +1165,8 @@ def _core_fwd(le, ls, lf, input_length, output_length, chunk, variant):
         )
         alphas, betas = alphas[:U], betas[:U]
     else:
-        alphas = _forward_dispatch(le, ls, lf, chunk, kband=kband)
+        alphas = _forward_dispatch(le, ls, lf, input_length, chunk,
+                                   kband=kband)
         betas = None  # computed in the bwd pass (fused with the grads)
     logz = _gather_logz(alphas, le, input_length, output_length)
     return -logz, (
