@@ -1121,14 +1121,16 @@ def _grad_mode(variant: str, B: int, T: int):
     (mode, kband) where kband is only meaningful for mode="banded".
 
     auto/log: fused bidirectional kernel + XLA posterior pass (64 B/cell)
-    when latency-bound (small columns) — the two interleaved chains hide
-    each other's issue stalls; plain two-pass (minimal 44 B/cell HBM
-    traffic) when throughput-bound.
+    when latency/issue-bound (small columns) — PACKED-LANE
+    ("fusedpack", B*T flattened to (rows, 128) when it packs with >= 8
+    rows; a measured 17% issue cut over the lane-padded layout) or the
+    unpacked "fused" kernel otherwise; plain two-pass (minimal 44 B/cell
+    HBM traffic) when throughput-bound.
     banded / bandedN: force the K-banded path (N in {2,4,8,16};
     bare "banded" uses _AUTO_BANDED_K). Measured slower than both auto
     paths on v5e (see _FUSED_MAX_COLUMN_ELEMS note); kept as
     conformance-tested probes.
-    fused/exp/plain: force those paths."""
+    fused/fusedpack/exp/plain: force those paths."""
     if variant == "bf16":
         # Same plain two-pass kernels; the bf16 storage rides on the input
         # arrays' dtype (kernels upcast on load, grads store in kind).
@@ -1244,10 +1246,13 @@ def ssnt_loss_pallas(log_emit, log_shift, log_frame=None, input_length=None,
 
     variant="log" (default): auto-dispatch — the fused bidirectional
     log-domain kernel + XLA posterior pass (64 B/cell; the two interleaved
-    chains hide each other's issue stalls) for latency-bound small columns,
-    plain column-walk two-pass kernels (44 B/cell: fwd reads 12B writes
-    alpha 4B; the reverse pass reads 16B and writes the 3 grads 12B, betas
-    never in HBM) for throughput-bound large ones.
+    chains hide each other's issue stalls) for issue-bound small columns,
+    in its PACKED-LANE form when B*T flattens to >= 8 rows of 128 lanes
+    (fused_alphas_betas_pallas_packed — bit-exact, converts the T->128
+    lane padding into real work); plain column-walk two-pass kernels
+    (44 B/cell: fwd reads 12B writes alpha 4B; the reverse pass reads
+    16B and writes the 3 grads 12B, betas never in HBM) for
+    throughput-bound large ones.
     variant="banded"/"bandedN" (N in 2/4/8/16) / "plain" / "fused": force
     one of those paths (banded = U/K-depth composed chains; measured
     slower than both auto paths on v5e, kept as tested probes).
