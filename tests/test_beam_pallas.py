@@ -322,3 +322,36 @@ def test_tone_pipeline_equal():
         np.testing.assert_array_equal(
             np.asarray(out_x[k]), np.asarray(out_p[k]), err_msg=k
         )
+
+
+def test_tone_widening_beam():
+    """max_beam_width > W pad-by-repetition through the fused tone kernel
+    equals the XLA path."""
+    from ssnt_tts_tpu.ops import tone_latent
+
+    B, W, K, T = 3, 3, 4, 6
+    r = np.random.default_rng(9)
+    h = r.normal(0, 1, (B, W, K)).astype(np.float32)
+    lp = np.round(r.normal(0, 1, (B, W)), 1).astype(np.float32)
+    fin = r.random((B, W)) < 0.3
+    t = r.integers(0, T + 1, (B, W)).astype(np.int32)
+    u = r.integers(0, 6, (B, W)).astype(np.int32)
+    il = np.full((B,), T, np.int32)
+    # The batched XLA wrapper pins max_beam_width = W (reference FFI
+    # parity, ssnt_tts_c/src/lib.rs:342); widen via the per-utterance
+    # step vmapped.
+    a = jax.vmap(
+        lambda h_, lp_, fin_, t_, u_, il_: tone_latent.beam_search_step(
+            h_, lp_, fin_, t_, u_, il_, empty_tone_id=1, max_beam_width=7,
+        )
+    )(
+        jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+        jnp.asarray(t), jnp.asarray(u), jnp.asarray(il),
+    )
+    b = beam_pallas.tone_beam_search_decode(
+        jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+        jnp.asarray(t), jnp.asarray(u), jnp.asarray(il),
+        empty_tone_id=1, max_beam_width=7,
+    )
+    for xa, xb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))

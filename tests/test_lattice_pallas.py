@@ -423,3 +423,91 @@ def test_expin_matches_log_path():
         fd = (loss_at(mp) - loss_at(mm)) / (2 * eps)
         an = float(np.asarray(g_e[3])[uu, bb])
         assert abs(fd - an) < 5e-2, (uu, bb, fd, an)
+
+
+def test_packed_kernel_extreme_ragged():
+    """Packed kernel on degenerate lengths (T_b=1, U_b=1 rows mixed with
+    full-length rows) stays bit-equal to the unpacked kernel and the
+    grad path matches XLA."""
+    rng = np.random.default_rng(23)
+    B, T, U = 16, 16, 16
+    le = np.log(rng.uniform(0.1, 0.9, (U, B, T))).astype(np.float32)
+    ls = np.log1p(-np.exp(le)).astype(np.float32)
+    lf = rng.normal(0, 0.5, (U, B, T)).astype(np.float32)
+    T_b = np.full(B, T, np.int32)
+    T_b[0] = 1
+    T_b[3] = 2
+    U_b = np.full(B, U, np.int32)
+    U_b[0] = 1
+    U_b[5] = 2
+
+    a_ref, b_ref = lattice_pallas.fused_alphas_betas_pallas(
+        jnp.asarray(le), jnp.asarray(ls), jnp.asarray(lf),
+        jnp.asarray(T_b), jnp.asarray(U_b), chunk=8,
+    )
+    a_pk, b_pk = lattice_pallas.fused_alphas_betas_pallas_packed(
+        jnp.asarray(le), jnp.asarray(ls), jnp.asarray(lf),
+        jnp.asarray(T_b), jnp.asarray(U_b), chunk=8,
+    )
+    np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_pk))
+    np.testing.assert_array_equal(np.asarray(b_ref), np.asarray(b_pk))
+
+    g_p = jax.grad(
+        lambda a, b, c: jnp.sum(
+            lattice_pallas.ssnt_loss_pallas(
+                a, b, c, T_b, U_b, chunk=8, variant="fusedpack",
+                layout="ubt",
+            )
+        ),
+        argnums=(0, 1, 2),
+    )(le, ls, lf)
+    g_x = jax.grad(
+        lambda a, b, c: jnp.sum(
+            lattice.ssnt_loss(a, b, c, T_b, U_b, layout="ubt")
+        ),
+        argnums=(0, 1, 2),
+    )(le, ls, lf)
+    for gp, gx, name in zip(g_p, g_x, ["emit", "shift", "frame"]):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-5,
+            err_msg=name,
+        )
+
+
+def test_expin_degenerate_path_zero_grads():
+    """When the final cell's emit probability underflows to exactly 0 the
+    exp-native loss reports the degenerate sentinel (NEG) and returns
+    zero grads for that example — mirroring the log path's guard —
+    while other examples keep finite grads."""
+    rng = np.random.default_rng(29)
+    U, B, T = 16, 2, 8
+    le = np.log(rng.uniform(0.1, 0.9, (U, B, T))).astype(np.float32)
+    ls = np.log1p(-np.exp(le)).astype(np.float32)
+    lf = rng.normal(0, 0.5, (U, B, T)).astype(np.float32)
+    il = np.full(B, T, np.int32)
+    ol = np.full(B, U, np.int32)
+
+    E = np.exp(le)
+    S = np.exp(ls)
+    E[:, 0, :] = 0.0  # example 0: emit impossible everywhere
+    S[:, 0, :] = 1.0
+    mcol = lf.max(axis=2)
+    F = np.exp(lf - mcol[:, :, None])
+
+    loss, g = jax.value_and_grad(
+        lambda e, s, f, m: jnp.sum(
+            lattice_pallas.ssnt_loss_expin(e, s, f, m, il, ol, chunk=8)
+        ),
+        argnums=(0, 1, 2, 3),
+    )(jnp.asarray(E), jnp.asarray(S), jnp.asarray(F), jnp.asarray(mcol))
+    per_ex = lattice_pallas.ssnt_loss_expin(
+        jnp.asarray(E), jnp.asarray(S), jnp.asarray(F), jnp.asarray(mcol),
+        il, ol, chunk=8,
+    )
+    assert float(per_ex[0]) > 1e29  # -NEG: degenerate sentinel
+    assert np.isfinite(float(per_ex[1]))
+    for arr in g[:3]:
+        a = np.asarray(arr)
+        assert (a[:, 0, :] == 0).all()       # degenerate example: zeros
+        assert np.isfinite(a[:, 1, :]).all()
+    assert (np.asarray(g[3])[:, 0] == 0).all()
