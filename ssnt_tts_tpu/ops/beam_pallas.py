@@ -506,16 +506,24 @@ def _make_v2_kernel(
     overrun_multiplier: int,
     diag_lo: float,
     diag_hi: float,
+    reorder_state: bool = False,
 ):
     """Fused v2 duration-class step (semantics: ops/beam_v2.beam_search_step,
-    reference /root/reference/src/v2.rs:119-166, 269-339)."""
+    reference /root/reference/src/v2.rs:119-166, 269-339). With
+    reorder_state the kernel additionally takes a (BB, W, F) f32 per-beam
+    state row and emits state[branch] (the decode loop's take_along_axis
+    reorder folded in, as the v1 reorder kernel does)."""
 
     def kernel(
         h_ref, hist_ref, fin_ref, tot_ref, t_ref, u_ref, dtab_ref,
-        il_ref, ol_ref,
-        opred_ref, olp_ref, ont_ref, onu_ref, ofin_ref, otot_ref,
-        obr_ref, onsurv_ref,
+        il_ref, ol_ref, *rest,
     ):
+        if reorder_state:
+            (state_ref, opred_ref, olp_ref, ont_ref, onu_ref, ofin_ref,
+             otot_ref, obr_ref, onsurv_ref, ostate_ref) = rest
+        else:
+            (opred_ref, olp_ref, ont_ref, onu_ref, ofin_ref,
+             otot_ref, obr_ref, onsurv_ref) = rest
         # Refs are (BB, 1, X); see _v1_kernel for the layout rationale.
         # Per-beam state is UNREPEATED (BB, 1, W): the xD candidate
         # expansion runs in-kernel (pltpu.repeat, one VPU op each) instead
@@ -616,14 +624,26 @@ def _make_v2_kernel(
         def pick_i32(x):
             return jnp.sum(jnp.where(hit3, x[:, None, :], 0), axis=2)
 
+        branch = pick_i32(parent)
         opred_ref[:] = pick_i32(pred)[:, None, :]
         olp_ref[:] = pick_f32(lp)[:, None, :]
         ont_ref[:] = pick_i32(nt)[:, None, :]
         onu_ref[:] = pick_i32(nu)[:, None, :]
         ofin_ref[:] = pick_i32(cfin.astype(jnp.int32))[:, None, :]
         otot_ref[:] = pick_i32(tot)[:, None, :]
-        obr_ref[:] = pick_i32(parent)[:, None, :]
+        obr_ref[:] = branch[:, None, :]
         onsurv_ref[:] = n[:, None, :]
+        if reorder_state:
+            state = state_ref[:]  # (B, W, F)
+            acc = jnp.zeros(
+                (state.shape[0], W_out, state.shape[2]), jnp.float32
+            )
+            for w in range(state.shape[1]):
+                m = (branch == w).astype(jnp.int32)[:, :, None]
+                acc = acc + jnp.where(
+                    m == 1, state[:, w, :][:, None, :], 0.0
+                )
+            ostate_ref[:] = acc
 
     return kernel
 
@@ -645,9 +665,15 @@ def v2_beam_search_decode(
     max_beam_width: int | None = None,
     return_num_survivors: bool = False,
     config=None,
+    state=None,
 ):
     """Fused batched v2 step; drop-in equal to ops.beam_v2.beam_search_decode
-    (bit-exact: tests/test_beam_pallas.py, scripts/probe_beam_pallas.py)."""
+    (bit-exact: tests/test_beam_pallas.py, scripts/probe_beam_pallas.py).
+
+    state: optional (B, W, F) f32 per-beam state rows; when given, the
+    kernel also returns state[branch] as the LAST output — the decode
+    loop's take_along_axis reorder folded into the launch (one fewer
+    ~1.75 us gather dispatch per scan step; scripts/probe_budget.py)."""
     from ssnt_tts_tpu.utils.config import V2BeamConfig
 
     cfg = config if config is not None else V2BeamConfig()
@@ -671,6 +697,7 @@ def v2_beam_search_decode(
         float(cfg.band_lower_frac), float(cfg.band_upper_frac),
         int(cfg.overrun_multiplier),
         float(cfg.diagonal_window[0]), float(cfg.diagonal_window[1]),
+        reorder_state=state is not None,
     )
     rep = lambda x: jnp.repeat(x, D, axis=1).reshape(B, 1, C)
     # Tiled selection keeps ~16 live (BB, 8, C) slabs (+ (BB, C) rows)
@@ -678,27 +705,23 @@ def v2_beam_search_decode(
     # the slab height (8), not C.
     bb = _batch_block(B, 8 if C % 8 == 0 else C, temps=16)
     row = lambda width: pl.BlockSpec((bb, 1, width), lambda i: (i, 0, 0))
-    out = pl.pallas_call(
-        kernel,
-        grid=(B // bb,),
-        in_specs=(
-            [row(C)] * 6
-            + [pl.BlockSpec((1, 1, C), lambda i: (0, 0, 0))]  # dur table
-            + [row(1)] * 2
-        ),
-        out_specs=[row(W_out)] * 7 + [row(1)],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, W_out), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
-        ],
-        interpret=_interpret(),
-    )(
+    in_specs = (
+        [row(C)] * 6
+        + [pl.BlockSpec((1, 1, C), lambda i: (0, 0, 0))]  # dur table
+        + [row(1)] * 2
+    )
+    out_specs = [row(W_out)] * 7 + [row(1)]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, W_out), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+    ]
+    args = [
         h.reshape(B, 1, C).astype(jnp.float32),
         rep(log_prob_history.astype(jnp.float32)),
         rep(is_finished.astype(jnp.int32)),
@@ -710,13 +733,34 @@ def v2_beam_search_decode(
         ).reshape(1, 1, C),
         input_length.reshape(B, 1, 1),
         output_length.reshape(B, 1, 1),
-    )
+    ]
+    if state is not None:
+        F = state.shape[2]
+        srow = lambda n_, width: pl.BlockSpec(
+            (bb, n_, width), lambda i: (i, 0, 0)
+        )
+        in_specs = list(in_specs) + [srow(W, F)]
+        out_specs = out_specs + [srow(W_out, F)]
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((B, W_out, F), jnp.float32)
+        ]
+        args = args + [state.astype(jnp.float32)]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // bb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(*args)
     pred, lp, nt, nu, fin, tot, br = (
         x.reshape(B, W_out) for x in out[:7]
     )
     result = (pred, lp, nt, nu, fin != 0, tot, br)
     if return_num_survivors:
-        return result + (out[7].reshape(B),)
+        result = result + (out[7].reshape(B),)
+    if state is not None:
+        result = result + (out[8],)
     return result
 
 

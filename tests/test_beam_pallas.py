@@ -355,3 +355,33 @@ def test_tone_widening_beam():
     )
     for xa, xb in zip(a, b):
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_v2_kernel_state_reorder():
+    """v2 kernel's folded state reorder == step + take_along_axis."""
+    from ssnt_tts_tpu.ops import beam_v2
+
+    B, W, D = 4, 5, 7
+    for trial in range(10):
+        h, lp, fin, tot, dtab, t, u, il, ol = _rand_v2_case(trial, B, W, D)
+        r = np.random.default_rng(1000 + trial)
+        state = r.normal(0, 1, (B, W, 13)).astype(np.float32)
+        kw = dict(zero_duration_id=0, allow_skip=False, test_mode=False,
+                  return_num_survivors=True)
+        a = beam_v2.beam_search_decode(
+            jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+            jnp.asarray(tot), jnp.asarray(dtab), jnp.asarray(t),
+            jnp.asarray(u), jnp.asarray(il), jnp.asarray(ol), **kw,
+        )
+        b = beam_pallas.v2_beam_search_decode(
+            jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+            jnp.asarray(tot), jnp.asarray(dtab), jnp.asarray(t),
+            jnp.asarray(u), jnp.asarray(il), jnp.asarray(ol),
+            state=jnp.asarray(state), **kw,
+        )
+        branch = np.asarray(a[6]).astype(np.int64)
+        want = np.take_along_axis(state, branch[..., None], axis=1)
+        np.testing.assert_array_equal(np.asarray(b[8]), want,
+                                      err_msg=f"trial {trial}")
+        for xa, xb in zip(a[:7], b[:7]):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
