@@ -764,15 +764,23 @@ def v2_beam_search_decode(
     return result
 
 
-def _make_tone_kernel(W_out: int, K: int, empty_tone_id: int):
+def _make_tone_kernel(W_out: int, K: int, empty_tone_id: int,
+                      reorder_state: bool = False):
     """Fused tone-latent step (semantics: ops/tone_latent.beam_search_step,
     reference /root/reference/src/tone_latent.rs:144-234): structurally the
     v2 step minus duration bookkeeping — every class admissible for active
     beams, unconditional (t, u) -> (t+1, u+1) advance, empty_tone_id
-    padding for finished/out-of-range beams."""
+    padding for finished/out-of-range beams. With reorder_state the
+    kernel also reorders a (BB, W, F) per-beam state row by branch (see
+    _make_v2_kernel)."""
 
-    def kernel(h_ref, hist_ref, fin_ref, t_ref, u_ref, il_ref,
-               opred_ref, olp_ref, ont_ref, onu_ref, ofin_ref, obr_ref):
+    def kernel(h_ref, hist_ref, fin_ref, t_ref, u_ref, il_ref, *rest):
+        if reorder_state:
+            (state_ref, opred_ref, olp_ref, ont_ref, onu_ref, ofin_ref,
+             obr_ref, ostate_ref) = rest
+        else:
+            (opred_ref, olp_ref, ont_ref, onu_ref, ofin_ref,
+             obr_ref) = rest
         B, _, C = h_ref.shape
         W = C // K
 
@@ -813,12 +821,24 @@ def _make_tone_kernel(W_out: int, K: int, empty_tone_id: int):
                 lp, valid, [ekey1, ekey2], gen, W_out
             )
 
+        branch = _pick_i32(hit3, parent)
         opred_ref[:] = _pick_i32(hit3, pred)[:, None, :]
         olp_ref[:] = _pick_f32(hit3, lp)[:, None, :]
         ont_ref[:] = _pick_i32(hit3, nt)[:, None, :]
         onu_ref[:] = _pick_i32(hit3, nu)[:, None, :]
         ofin_ref[:] = _pick_i32(hit3, cfin.astype(jnp.int32))[:, None, :]
-        obr_ref[:] = _pick_i32(hit3, parent)[:, None, :]
+        obr_ref[:] = branch[:, None, :]
+        if reorder_state:
+            state = state_ref[:]
+            acc = jnp.zeros(
+                (state.shape[0], W_out, state.shape[2]), jnp.float32
+            )
+            for w in range(state.shape[1]):
+                m = (branch == w).astype(jnp.int32)[:, :, None]
+                acc = acc + jnp.where(
+                    m == 1, state[:, w, :][:, None, :], 0.0
+                )
+            ostate_ref[:] = acc
 
     return kernel
 
@@ -833,39 +853,62 @@ def tone_beam_search_decode(
     *,
     empty_tone_id: int = 0,
     max_beam_width: int | None = None,
+    state=None,
 ):
     """Fused batched tone step; drop-in equal to
-    ops.tone_latent.beam_search_decode (tests/test_beam_pallas.py)."""
+    ops.tone_latent.beam_search_decode (tests/test_beam_pallas.py).
+    state: optional (B, W, F) f32 per-beam rows; when given the kernel
+    also returns state[branch] as the last output (folded reorder)."""
     B, W, K = h.shape
     if K * 2 >= 2**31:
         raise ValueError(f"tone_class_size {K} overflows eq-key packing")
     W_out = W if max_beam_width is None else max_beam_width
     C = W * K
 
-    kernel = _make_tone_kernel(W_out, K, int(empty_tone_id))
+    kernel = _make_tone_kernel(
+        W_out, K, int(empty_tone_id), reorder_state=state is not None
+    )
     bb = _batch_block(B, 8 if C % 8 == 0 else C, temps=16)
     row = lambda width: pl.BlockSpec((bb, 1, width), lambda i: (i, 0, 0))
-    out = pl.pallas_call(
-        kernel,
-        grid=(B // bb,),
-        in_specs=[row(C)] + [row(W)] * 4 + [row(1)],
-        out_specs=[row(W_out)] * 6,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, W_out), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
-        ],
-        interpret=_interpret(),
-    )(
+    in_specs = [row(C)] + [row(W)] * 4 + [row(1)]
+    out_specs = [row(W_out)] * 6
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, W_out), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, W_out), jnp.int32),
+    ]
+    args = [
         jnp.transpose(h, (0, 2, 1)).reshape(B, 1, C).astype(jnp.float32),
         log_prob_history.astype(jnp.float32).reshape(B, 1, W),
         is_finished.astype(jnp.int32).reshape(B, 1, W),
         t.astype(jnp.int32).reshape(B, 1, W),
         u.astype(jnp.int32).reshape(B, 1, W),
         jnp.asarray(input_length, jnp.int32).reshape(B, 1, 1),
-    )
-    pred, lp, nt, nu, fin, br = (x.reshape(B, W_out) for x in out)
-    return pred, lp, nt, nu, fin != 0, br
+    ]
+    if state is not None:
+        F = state.shape[2]
+        srow = lambda n_, width: pl.BlockSpec(
+            (bb, n_, width), lambda i: (i, 0, 0)
+        )
+        in_specs = in_specs + [srow(W, F)]
+        out_specs = out_specs + [srow(W_out, F)]
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((B, W_out, F), jnp.float32)
+        ]
+        args = args + [state.astype(jnp.float32)]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // bb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(*args)
+    pred, lp, nt, nu, fin, br = (x.reshape(B, W_out) for x in out[:6])
+    result = (pred, lp, nt, nu, fin != 0, br)
+    if state is not None:
+        result = result + (out[6],)
+    return result

@@ -385,3 +385,35 @@ def test_v2_kernel_state_reorder():
                                       err_msg=f"trial {trial}")
         for xa, xb in zip(a[:7], b[:7]):
             np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_tone_kernel_state_reorder():
+    """Tone kernel's folded state reorder == step + take_along_axis."""
+    from ssnt_tts_tpu.ops import tone_latent
+
+    B, W, K, T = 3, 4, 8, 6
+    for trial in range(8):
+        r = np.random.default_rng(2000 + trial)
+        h = r.normal(0, 1, (B, W, K)).astype(np.float32)
+        lp = np.round(r.normal(0, 1, (B, W)), 1).astype(np.float32)
+        fin = r.random((B, W)) < 0.3
+        t = r.integers(0, T + 1, (B, W)).astype(np.int32)
+        u = r.integers(0, 6, (B, W)).astype(np.int32)
+        il = np.full((B,), T, np.int32)
+        state = r.normal(0, 1, (B, W, 11)).astype(np.float32)
+        a = tone_latent.beam_search_decode(
+            jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+            jnp.asarray(t), jnp.asarray(u), jnp.asarray(il),
+            empty_tone_id=0,
+        )
+        b = beam_pallas.tone_beam_search_decode(
+            jnp.asarray(h), jnp.asarray(lp), jnp.asarray(fin),
+            jnp.asarray(t), jnp.asarray(u), jnp.asarray(il),
+            empty_tone_id=0, state=jnp.asarray(state),
+        )
+        branch = np.asarray(a[5]).astype(np.int64)
+        want = np.take_along_axis(state, branch[..., None], axis=1)
+        np.testing.assert_array_equal(np.asarray(b[6]), want,
+                                      err_msg=f"trial {trial}")
+        for xa, xb in zip(a[:6], b[:6]):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
