@@ -409,9 +409,11 @@ def main():
             # Tone per-source-step floor: same AR-cell model path as v2;
             # the tone step is v2 minus the duration prunes, so its beam
             # floor is the v1-style pairwise algebra at C = W*K = 64
-            # (~45 ops -> ~6.2 us VPU) + launch. The tone beam step
-            # currently runs the XLA formulation (no dedicated kernel) —
-            # the gap to this budget is that kernel, stated, not hidden.
+            # (~45 ops -> ~6.2 us VPU) + launch. Since round 4 the tone
+            # path runs its own fused kernel by default on TPU
+            # (ops/beam_pallas.tone_beam_search_decode); the residual
+            # gap to this budget is dispatch structure, attacked by the
+            # round-5 fused model+beam kernels below.
             tone_budget_us = (
                 5 * L_MM + L_GATHER + L_PALLAS + 6.2
                 + L_GATHER + 2 * L_ELEM

@@ -151,7 +151,7 @@ class FrameJoint(nn.Module):
             "log_sigma", lambda k: jnp.array(self.log_sigma_init, jnp.float32)
         )
 
-    def __call__(self, enc, dec, mel_target) -> jax.Array:
+    def __call__(self, enc, dec, mel_target, input_length=None) -> jax.Array:
         """Full lattice, time-major: -> (U, B, T) log-likelihoods."""
         M = self.mel_dim
         a = self.enc_mel(enc).astype(jnp.float32)  # (B, T, M)
@@ -171,8 +171,28 @@ class FrameJoint(nn.Module):
         if self.lattice_domain == "exp":
             # Column-max-normalized likelihoods for ssnt_loss_expin:
             # F = exp(lf - max_t lf) in (0, 1] plus the (U, B) scalar.
-            mcol = jnp.max(out, axis=2)
-            F = jnp.exp(out - mcol[:, :, None])
+            # The max runs over VALID t only (ADVICE r4): a padded
+            # column's garbage likelihood exceeding the best valid cell
+            # by > the ~87-nat f32 flush horizon would underflow every
+            # valid F to 0 and collapse the example to the degenerate
+            # NEG sentinel — a failure mode the log path doesn't have.
+            if input_length is not None:
+                T = out.shape[2]
+                tmask = (
+                    jnp.arange(T, dtype=jnp.int32)[None, None, :]
+                    < input_length[None, :, None]
+                )
+                masked = jnp.where(tmask, out, -1e30)
+                mcol = jnp.max(masked, axis=2)
+                # Padded cells sit ABOVE mcol now — zero them instead of
+                # letting exp overflow (the kernels mask by input_length,
+                # but inf would poison any pre-mask arithmetic).
+                F = jnp.where(
+                    tmask, jnp.exp(out - mcol[:, :, None]), 0.0
+                )
+            else:
+                mcol = jnp.max(out, axis=2)
+                F = jnp.exp(out - mcol[:, :, None])
             return (
                 F.astype(jnp.dtype(self.lattice_dtype)),
                 mcol.astype(jnp.float32),

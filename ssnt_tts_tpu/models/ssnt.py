@@ -58,27 +58,46 @@ def _lattice_loss_fn(impl: str, lattice_dtype: str = "float32",
     the T-sharded loss (correctness over speed for the long-context
     escape hatch)."""
     if lattice_domain == "exp":
+        # The expin kernel only exists as a Pallas TPU kernel; when the
+        # resolved backend is XLA (impl="xla", or auto off-TPU) the
+        # inputs are log-ified and routed to the XLA scan instead of
+        # silently running the kernel in interpret mode — orders of
+        # magnitude slower (ADVICE r4).
+        exp_on_xla = impl == "xla" or (
+            impl != "pallas"
+            and not any(d.platform == "tpu" for d in jax.devices())
+        )
 
         def dispatch_exp(E, S, F, mcol, input_length, output_length):
             from ssnt_tts_tpu.ops import lattice_sharded
 
             U, B, T = E.shape
             ts = lattice_sharded.active_tshard(U, B, T)
-            if ts is not None:
-                mesh, axis = ts
+            if ts is not None or exp_on_xla:
                 tiny = jnp.float32(1e-38)
-                lf = jnp.log(jnp.maximum(F, tiny)) + mcol[:, :, None]
-                return lattice_sharded.ssnt_loss_tsharded(
-                    jnp.log(jnp.maximum(E, tiny)),
-                    jnp.log(jnp.maximum(S, tiny)),
-                    lf.astype(jnp.float32), input_length, output_length,
-                    mesh, axis=axis,
+                le = jnp.log(jnp.maximum(E.astype(jnp.float32), tiny))
+                ls = jnp.log(jnp.maximum(S.astype(jnp.float32), tiny))
+                lf = (
+                    jnp.log(jnp.maximum(F.astype(jnp.float32), tiny))
+                    + mcol[:, :, None]
+                )
+                if ts is not None:
+                    mesh, axis = ts
+                    return lattice_sharded.ssnt_loss_tsharded(
+                        le, ls, lf, input_length, output_length,
+                        mesh, axis=axis,
+                    )
+                return lattice.ssnt_loss(
+                    le, ls, lf, input_length, output_length, layout="ubt"
                 )
             return lattice_pallas.ssnt_loss_expin(
                 E, S, F, mcol, input_length, output_length
             )
 
-        dispatch_exp.base = lattice_pallas.ssnt_loss_expin
+        dispatch_exp.base = (
+            lattice.ssnt_loss if exp_on_xla
+            else lattice_pallas.ssnt_loss_expin
+        )
         return dispatch_exp
 
     if impl == "pallas":
@@ -211,14 +230,17 @@ class SSNTModel(nn.Module):
         dec = dec.reshape(B, n * chunk, -1)
         return dec[:, :U]
 
-    def lattice_quantities(self, enc, dec, mel_target):
+    def lattice_quantities(self, enc, dec, mel_target, input_length=None):
         """Time-major (U, B, T) lattice quantities (native kernel layout).
 
         lattice_domain="log": (log_emit, log_shift, log_frame).
         lattice_domain="exp": (E, S, F, mcol) — probabilities + the
-        column-max scalars, consumed by ssnt_loss_expin."""
+        column-max scalars, consumed by ssnt_loss_expin. input_length
+        restricts the exp path's column max to valid t (ADVICE r4: a
+        padded column outscoring every valid cell by > the f32 flush
+        horizon would NEG-collapse the example)."""
         a, b = self.transition(enc, dec)
-        f = self.frame(enc, dec, mel_target)
+        f = self.frame(enc, dec, mel_target, input_length)
         if self.config.lattice_domain == "exp":
             F, mcol = f
             return a, b, F, mcol
@@ -231,7 +253,7 @@ class SSNTModel(nn.Module):
         """Training forward: per-example SSNT NLL (B,)."""
         enc = self.encode(tokens, input_length)
         dec = self.decoder_states(mel_target)
-        q = self.lattice_quantities(enc, dec, mel_target)
+        q = self.lattice_quantities(enc, dec, mel_target, input_length)
         loss_fn = _lattice_loss_fn(
             self.config.lattice_impl, self.config.lattice_dtype,
             self.config.lattice_domain,
@@ -249,7 +271,7 @@ class SSNTModel(nn.Module):
         T = tokens.shape[1]
         enc = self.encode(tokens, input_length)
         dec = self.decoder_states(mel_target)
-        q = self.lattice_quantities(enc, dec, mel_target)
+        q = self.lattice_quantities(enc, dec, mel_target, input_length)
         loss_fn = _lattice_loss_fn(
             self.config.lattice_impl, self.config.lattice_dtype,
             self.config.lattice_domain,

@@ -62,6 +62,31 @@ def _batch_block(B: int, C: int, temps: int) -> int:
     return bb
 
 
+def _select_jc(C: int) -> int | None:
+    """Slab width the tiled selection will ACTUALLY use for candidate
+    count C, or None when C forces the one-shot fallback. Single source
+    of truth shared by the kernels and the batch-block sizing (ADVICE r4:
+    sizing bb for 8-high slabs while the kernel auto-picked jc=16 — or
+    worse, fell back to the ~70-temp one-shot path — could double or
+    quadruple the live VMEM footprint on the default TPU decode path)."""
+    if C % 8:
+        return None
+    return 16 if C % 16 == 0 else 8
+
+
+def _select_block(B: int, C: int, *, oneshot_temps: int) -> int:
+    """Batch block sized for the selection path _select_jc dispatches."""
+    jc = _select_jc(C)
+    if jc is None:
+        return _batch_block(B, C, temps=oneshot_temps)
+    # Tiled path: ~16 live (BB, jc, C) slabs + (BB, C) rows.
+    per_row = jc * max(C, 128) * 4 * 16
+    bb = max(1, min(B, _VMEM_STACK_BUDGET // per_row))
+    while B % bb:
+        bb -= 1
+    return bb
+
+
 def _v1_candidates_and_hit(
     h_ref, lp_ref, fin_ref, t_ref, u_ref, il_ref, W_out,
 ):
@@ -298,8 +323,10 @@ def _select_sort_free_tiled(
         # 16-wide slabs halve the fori_loop trip count when C allows;
         # measured NEUTRAL at C=80/64 (22.8 vs 22.9 us v2 step — the
         # reduction work dominates, not loop bookkeeping), kept for the
-        # marginally lower bound.
-        jc = 16 if C % 16 == 0 else 8
+        # marginally lower bound. Kept in sync with the caller's batch
+        # block sizing via _select_jc (ADVICE r4).
+        jc = _select_jc(C)
+        assert jc is not None, C
     assert C % jc == 0, (C, jc)
     nblk = C // jc
     v32 = valid.astype(jnp.int32)
@@ -700,10 +727,10 @@ def v2_beam_search_decode(
         reorder_state=state is not None,
     )
     rep = lambda x: jnp.repeat(x, D, axis=1).reshape(B, 1, C)
-    # Tiled selection keeps ~16 live (BB, 8, C) slabs (+ (BB, C) rows)
-    # instead of ~70 (BB, C, C) pairwise masks; size the batch block to
-    # the slab height (8), not C.
-    bb = _batch_block(B, 8 if C % 8 == 0 else C, temps=16)
+    # Block sized for the selection path the kernel will actually take:
+    # ~16 live (BB, jc, C) slabs for the tiled path, ~70 (BB, C, C)
+    # pairwise masks for the one-shot fallback (ADVICE r4).
+    bb = _select_block(B, C, oneshot_temps=70)
     row = lambda width: pl.BlockSpec((bb, 1, width), lambda i: (i, 0, 0))
     in_specs = (
         [row(C)] * 6
@@ -868,7 +895,7 @@ def tone_beam_search_decode(
     kernel = _make_tone_kernel(
         W_out, K, int(empty_tone_id), reorder_state=state is not None
     )
-    bb = _batch_block(B, 8 if C % 8 == 0 else C, temps=16)
+    bb = _select_block(B, C, oneshot_temps=70)
     row = lambda width: pl.BlockSpec((bb, 1, width), lambda i: (i, 0, 0))
     in_specs = [row(C)] + [row(W)] * 4 + [row(1)]
     out_specs = [row(W_out)] * 6

