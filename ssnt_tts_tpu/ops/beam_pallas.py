@@ -522,6 +522,93 @@ def beam_search_step_reorder(
     return pred, lp, nt, nu, fin != 0, br, out[6]
 
 
+def _v2_candidates(
+    h, hist, fin, tot0, t, u, dtab, T, U, *,
+    D: int,
+    zero_duration_id: int,
+    allow_skip: bool,
+    test_mode: bool,
+    band_lower_frac: float,
+    band_upper_frac: float,
+    overrun_multiplier: int,
+    diag_lo: float,
+    diag_hi: float,
+):
+    """Beam-major v2 candidate grid on (B, C) lane vectors (semantics:
+    ops/beam_v2.beam_search_step; reference src/v2.rs:119-166, 313-323).
+
+    All args (B, C) except dtab (1 or B, C) and T/U (B, 1). Shared by the
+    standalone fused beam kernel (_make_v2_kernel) and the round-5
+    model-fused kernel (ops/beam_fused.py) so the two cannot drift.
+
+    Returns (pred, lp, nt, nu, cfin, tot, valid, diag_mask, gen, parent,
+    ekey1, ekey2)."""
+    B, C = h.shape
+    gen = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    d_ids = gen % D
+    parent = gen // D
+
+    active = (t < T) & (~fin)          # src/v2.rs:119-125
+    last = t == T - 1
+
+    tot = tot0 + dtab                  # (B, C) candidate cumulative
+
+    Uf = U.astype(jnp.float32)         # (B, 1)
+    Tf = T.astype(jnp.float32)
+    diag = Uf / Tf * (t + 1).astype(jnp.float32)
+    lower = jnp.maximum(diag - Uf * band_lower_frac, 0.0).astype(
+        jnp.int32
+    )
+    upper = jnp.minimum(diag + Uf * band_upper_frac, Uf).astype(
+        jnp.int32
+    )
+    band_ok = (tot >= lower) & (tot <= upper)
+    overrun = (T - (t + 1)) * overrun_multiplier > U
+    final_len_ok = (~last) | (tot == U)
+    skip_ok = (
+        jnp.full((B, C), True)
+        if allow_skip
+        else d_ids != zero_duration_id
+    )
+
+    valid = active & skip_ok
+    if not test_mode:
+        valid = valid & band_ok & (~overrun) & final_len_ok
+
+    pred = d_ids
+    lp = hist + h
+    nt = jnp.where(last, t, t + 1)
+    nu = jnp.where(last, u, u + 1)
+    cfin = last
+
+    # Padding candidate for finished/out-of-range beams in class slot 0
+    # (src/v2.rs:313-323).
+    pad0 = (~active) & (d_ids == 0)
+    pred = jnp.where(pad0, zero_duration_id, pred)
+    lp = jnp.where(pad0, hist, lp)
+    nt = jnp.where(pad0, t, nt)
+    nu = jnp.where(pad0, u, nu)
+    cfin = cfin | pad0
+    tot = jnp.where(pad0, tot0, tot)
+    valid = valid | pad0
+
+    diag_mask = None
+    if not test_mode:
+        # on_diagonal uses the candidate's next_t (src/v2.rs:113-117).
+        diag_next = Uf / Tf * nt.astype(jnp.float32)
+        diff = tot.astype(jnp.float32) - diag_next
+        diag_mask = (diff >= diag_lo) & (diff <= diag_hi)
+
+    # Five int eq fields pack into TWO injective i32 keys (2D ops).
+    # Bounds: 0 <= nu < 16384, |nt| < 32768, tot < 2**17, D <= 64.
+    ekey1 = nt * 16384 + nu
+    ekey2 = (tot * 64 + pred) * 2 + cfin.astype(jnp.int32)
+    return (
+        pred, lp, nt, nu, cfin, tot, valid, diag_mask, gen, parent,
+        ekey1, ekey2,
+    )
+
+
 def _make_v2_kernel(
     W_out: int,
     D: int,
@@ -571,65 +658,16 @@ def _make_v2_kernel(
         T = il_ref[:][:, 0, :]       # (B, 1)
         U = ol_ref[:][:, 0, :]       # (B, 1)
 
-        gen = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
-        d_ids = gen % D
-        parent = gen // D
-
-        active = (t < T) & (~fin)          # src/v2.rs:119-125
-        last = t == T - 1
-
-        tot = tot0 + dtab                  # (B, C) candidate cumulative
-
-        Uf = U.astype(jnp.float32)         # (B, 1)
-        Tf = T.astype(jnp.float32)
-        diag = Uf / Tf * (t + 1).astype(jnp.float32)
-        lower = jnp.maximum(diag - Uf * band_lower_frac, 0.0).astype(
-            jnp.int32
+        (pred, lp, nt, nu, cfin, tot, valid, diag_mask, gen, parent,
+         ekey1, ekey2) = _v2_candidates(
+            h, hist, fin, tot0, t, u, dtab, T, U,
+            D=D, zero_duration_id=zero_duration_id,
+            allow_skip=allow_skip, test_mode=test_mode,
+            band_lower_frac=band_lower_frac,
+            band_upper_frac=band_upper_frac,
+            overrun_multiplier=overrun_multiplier,
+            diag_lo=diag_lo, diag_hi=diag_hi,
         )
-        upper = jnp.minimum(diag + Uf * band_upper_frac, Uf).astype(
-            jnp.int32
-        )
-        band_ok = (tot >= lower) & (tot <= upper)
-        overrun = (T - (t + 1)) * overrun_multiplier > U
-        final_len_ok = (~last) | (tot == U)
-        skip_ok = (
-            jnp.full((B, C), True)
-            if allow_skip
-            else d_ids != zero_duration_id
-        )
-
-        valid = active & skip_ok
-        if not test_mode:
-            valid = valid & band_ok & (~overrun) & final_len_ok
-
-        pred = d_ids
-        lp = hist + h
-        nt = jnp.where(last, t, t + 1)
-        nu = jnp.where(last, u, u + 1)
-        cfin = last
-
-        # Padding candidate for finished/out-of-range beams in class slot 0
-        # (src/v2.rs:313-323).
-        pad0 = (~active) & (d_ids == 0)
-        pred = jnp.where(pad0, zero_duration_id, pred)
-        lp = jnp.where(pad0, hist, lp)
-        nt = jnp.where(pad0, t, nt)
-        nu = jnp.where(pad0, u, nu)
-        cfin = cfin | pad0
-        tot = jnp.where(pad0, tot0, tot)
-        valid = valid | pad0
-
-        diag_mask = None
-        if not test_mode:
-            # on_diagonal uses the candidate's next_t (src/v2.rs:113-117).
-            diag_next = Uf / Tf * nt.astype(jnp.float32)
-            diff = tot.astype(jnp.float32) - diag_next
-            diag_mask = (diff >= diag_lo) & (diff <= diag_hi)
-
-        # Five int eq fields pack into TWO injective i32 keys (2D ops).
-        # Bounds: 0 <= nu < 16384, |nt| < 32768, tot < 2**17, D <= 64.
-        ekey1 = nt * 16384 + nu
-        ekey2 = (tot * 64 + pred) * 2 + cfin.astype(jnp.int32)
         if C % 8 == 0:
             # j-slab tiled selection: O(B*8*C) live temps instead of
             # O(B*C*C), so the whole batch fits one grid block at C ~ 80
