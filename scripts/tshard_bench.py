@@ -8,7 +8,11 @@ the communication structure (ring-hop count and bytes — U ppermutes of
 B*4 bytes per direction). What it CANNOT measure: real ICI hop latency;
 the artifact says so rather than extrapolating.
 
-  python scripts/tshard_bench.py --json TSHARD_r04.json
+Round 5 additionally sweeps the pipeline block size (VERDICT r4 #5:
+the blocked wavefront cuts collectives from 2*U per forward to
+U/K + n - 1 ppermutes + 1 psum) and records the collective counts.
+
+  python scripts/tshard_bench.py --json TSHARD_r05.json
 """
 
 import argparse
@@ -26,6 +30,7 @@ def main():
     p.add_argument("--shape", type=int, nargs=3, default=[400, 8, 64],
                    metavar=("U", "B", "T"))
     p.add_argument("--steps", type=int, default=6)
+    p.add_argument("--blocks", type=int, nargs="+", default=[1, 8, 32])
     p.add_argument("--json", type=str, default=None)
     args = p.parse_args()
 
@@ -70,11 +75,11 @@ def main():
         "shape": {"U": U, "B": B, "T": T},
         "platform": "cpu-virtual",
         "unsharded_xla_ms": round(ms_unsharded, 2),
-        "comm_structure": {
-            "ppermute_hops_per_direction": U,
-            "bytes_per_hop": B * 4,
-            "total_ring_bytes_fwd_plus_bwd": 2 * U * B * 4,
-        },
+        "comm_structure_note": (
+            "per run: block=K => U/K + n - 1 ppermutes of K*B*4 bytes "
+            "plus ONE psum per forward (r4 structure was U ppermutes + "
+            "U psums); backward mirrors the ring"
+        ),
         "note": (
             "virtual-device CPU mesh: measures partitioning/dispatch "
             "overhead of the ring-scan structure, NOT real ICI latency "
@@ -85,22 +90,33 @@ def main():
     for n in args.devices:
         devs = jax.devices()[:n]
         mesh = Mesh(np.asarray(devs).reshape(n), ("model",))
-        grad_sh = jax.jit(jax.grad(
-            lambda a, b, c: jnp.sum(
-                lattice_sharded.ssnt_loss_tsharded(
-                    a, b, c, il, ol, mesh, axis="model"
-                )
-            ),
-            argnums=(0, 1, 2),
-        ))
-        ms = bench(lambda: grad_sh(le, ls, lf))
-        result["runs"].append({
-            "shards": n,
-            "ms_per_grad": round(ms, 2),
-            "vs_unsharded": round(ms_unsharded / ms, 3),
-        })
-        print(f"shards={n}: {ms:.2f} ms (unsharded {ms_unsharded:.2f})",
-              flush=True)
+        for blk in args.blocks:
+            if U % blk:
+                continue
+            grad_sh = jax.jit(jax.grad(
+                lambda a, b, c: jnp.sum(
+                    lattice_sharded.ssnt_loss_tsharded(
+                        a, b, c, il, ol, mesh, axis="model", block=blk
+                    )
+                ),
+                argnums=(0, 1, 2),
+            ))
+            ms = bench(lambda: grad_sh(le, ls, lf))
+            hops = U // blk + (n - 1 if blk > 1 else 0)
+            result["runs"].append({
+                "shards": n,
+                "block": blk,
+                "ppermutes_per_fwd": hops,
+                "psums_per_fwd": 1,
+                "bytes_per_hop": blk * B * 4,
+                "ms_per_grad": round(ms, 2),
+                "vs_unsharded": round(ms_unsharded / ms, 3),
+            })
+            print(
+                f"shards={n} block={blk}: {ms:.2f} ms "
+                f"(unsharded {ms_unsharded:.2f}, {hops} hops/fwd)",
+                flush=True,
+            )
 
     out = json.dumps(result, indent=1)
     print(out)

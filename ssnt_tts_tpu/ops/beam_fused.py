@@ -62,9 +62,7 @@ from ssnt_tts_tpu.ops.beam_pallas import (
     _interpret,
     _pick_f32,
     _pick_i32,
-    _select_jc,
-    _select_sort_free,
-    _select_sort_free_tiled,
+    _select,
     _v2_candidates,
 )
 
@@ -100,18 +98,21 @@ def prepare_fused_weights(
 
 def _rows_to_lanes(x3, C: int):
     """(B, W, D) -> (B, C=W*D): lane w*D+d := x3[b, w, d], via W static
-    roll-accumulates (disjoint supports, so summation is exact)."""
+    one-hot MXU dots with shifted-diagonal matrices (disjoint supports,
+    exact at HIGHEST precision; Mosaic's lane-concat can't assemble
+    mixed-offset vregs, so no concatenate/roll form survives lowering)."""
     B, W, D = x3.shape
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (D, C), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (D, C), 1)
     acc = None
     for w in range(W):
-        row = x3[:, w, :]  # (B, D)
-        if C > D:
-            row = jnp.concatenate(
-                [row, jnp.zeros((B, C - D), row.dtype)], axis=1
-            )
-        if w:
-            row = pltpu.roll(row, w * D, axis=1)
-        acc = row if acc is None else acc + row
+        M = (c_iota == d_iota + w * D).astype(jnp.float32)
+        term = jnp.dot(
+            x3[:, w, :].astype(jnp.float32), M,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        acc = term if acc is None else acc + term
     return acc
 
 
@@ -148,24 +149,27 @@ def _model_step(
     bf = embed.dtype  # the model's compute dtype (ModelConfig.dtype)
     oh3 = (
         jax.lax.broadcasted_iota(jnp.int32, (B, W, D), 2) == pc3
-    ).astype(jnp.float32).astype(bf)  # via f32: Mosaic-safe i1 cast
-    # One-hot row pick; HIGHEST precision so the table values pass
-    # through exactly (default precision would bf16-truncate them even
-    # in an f32-dtype model).
+    ).astype(jnp.float32)
+    # One-hot row pick, all-f32 at HIGHEST precision (Mosaic rejects
+    # bf16 operands under HIGHEST; f32-upcast -> pick -> round back is
+    # value-identical to a table lookup in the compute dtype).
     emb = jnp.dot(
-        oh3.reshape(B * W, D), embed,
+        oh3.reshape(B * W, D), embed.astype(jnp.float32),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     ).astype(bf)
     x = emb + jnp.broadcast_to(
         xin[:, None, :], (B, W, H)
     ).reshape(B * W, H)
+    # Biases stay 2D (1, X): Mosaic's 1D-vector broadcasts are unsafe
+    # (silently wrong values on hardware — bisected round 5); (1, X) +
+    # (N, X) is the supported sublane-broadcast form.
     new_h = stepmath.gru_step(
-        wi, bi[0], wh, bhn[0], state3.reshape(B * W, H), x
+        wi, bi, wh, bhn, state3.reshape(B * W, H), x
     )  # (B*W, H) f32
     corr = (
         jnp.dot(new_h, out_k, preferred_element_type=jnp.float32)
-        + out_b[0]
+        + out_b
     )  # (B*W, D) f32
     logits3 = base1[:, None, :] + corr.reshape(B, W, D)
     h_logp3 = jax.nn.log_softmax(logits3, axis=-1)
@@ -288,16 +292,9 @@ def _make_fused_kernel(
             ekey1 = nt * 16384 + nu
             ekey2 = pred * 2 + cfin.astype(jnp.int32)
 
-        if _select_jc(C) is not None:
-            hit3, n = _select_sort_free_tiled(
-                clp, valid, [ekey1, ekey2], gen, W,
-                diag_mask=diag_mask,
-            )
-        else:
-            hit3, n = _select_sort_free(
-                clp, valid, [ekey1, ekey2], gen, W,
-                diag_mask=diag_mask,
-            )
+        hit3, n = _select(
+            clp, valid, [ekey1, ekey2], gen, W, diag_mask=diag_mask
+        )
 
         branch = _pick_i32(hit3, parent)   # (B, W)
         opred_ref[:] = _pick_i32(hit3, pred)[:, None, :]
@@ -323,13 +320,9 @@ def _make_fused_kernel(
 
 
 def _fused_block(B: int, C: int, W: int, H: int) -> int:
-    """Batch block sized for tiled selection + the model temporaries."""
-    jc = _select_jc(C)
-    sel = (
-        jc * max(C, 128) * 4 * 16
-        if jc is not None
-        else C * max(C, 128) * 4 * 70
-    )
+    """Batch block sized for bitonic selection + the model temporaries."""
+    L = max(128, 1 << max(1, (C - 1).bit_length()))
+    sel = 4 * (14 * L + 6 * max(W, 8) * max(C, 128))
     model = W * 3 * max(H, 128) * 4 * 8
     per_row = sel + model
     bb = max(1, min(B, _VMEM_STACK_BUDGET // per_row))

@@ -74,13 +74,13 @@ def _select_jc(C: int) -> int | None:
     return 16 if C % 16 == 0 else 8
 
 
-def _select_block(B: int, C: int, *, oneshot_temps: int) -> int:
-    """Batch block sized for the selection path _select_jc dispatches."""
-    jc = _select_jc(C)
-    if jc is None:
-        return _batch_block(B, C, temps=oneshot_temps)
-    # Tiled path: ~16 live (BB, jc, C) slabs + (BB, C) rows.
-    per_row = jc * max(C, 128) * 4 * 16
+def _select_block(B: int, C: int, *, oneshot_temps: int = 70,
+                  W_out: int = 8) -> int:
+    """Batch block sized for the bitonic selection (round 5): ~12 live
+    (BB, L) lane rows for the sort plus the (BB, W_out, C) hit/pick
+    temporaries — O(B*L), far below the old pairwise forms' footprints."""
+    L = max(128, 1 << max(1, (C - 1).bit_length()))
+    per_row = 4 * (14 * L + 6 * max(W_out, 8) * max(C, 128))
     bb = max(1, min(B, _VMEM_STACK_BUDGET // per_row))
     while B % bb:
         bb -= 1
@@ -147,7 +147,7 @@ def _v1_candidates_and_hit(
     # be negative on padding lanes; the packing stays injective for signed
     # next_t) — far above any TTS shape this framework targets.
     ekey = ((cnt * 16384 + cnu) * 2 + pred) * 2 + cfin.astype(jnp.int32)
-    hit3, _n = _select_sort_free(clp, valid, [ekey], gen, W_out)
+    hit3, _n = _select(clp, valid, [ekey], gen, W_out)
     return pred, clp, cnt, cnu, cfin, parent, hit3
 
 
@@ -418,6 +418,184 @@ def _select_sort_free_tiled(
     return hit3, n
 
 
+def _widen_lanes_f32(x, L: int):
+    """(B, C) f32 -> (B, L) via a one-hot diagonal MXU dot (exact at
+    HIGHEST precision; Mosaic supports neither lane-concat of
+    mixed-offset vregs nor dynamic_update_slice, so this is THE widening
+    primitive). Pad lanes read 0.0."""
+    B, C = x.shape
+    Wd = (
+        jax.lax.broadcasted_iota(jnp.int32, (C, L), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (C, L), 1)
+    ).astype(jnp.float32)
+    return jnp.dot(
+        x, Wd, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _widen_lanes_i32(x, L: int):
+    """(B, C) i32 -> (B, L), exact for any i32 (12-bit split around the
+    f32 widening dot; arithmetic shift keeps negatives exact)."""
+    lo = (x & 0xFFF).astype(jnp.float32)
+    hi = (x >> 12).astype(jnp.float32)  # |hi| < 2**19: f32-exact
+    return (
+        _widen_lanes_f32(hi, L).astype(jnp.int32) * 4096
+        + _widen_lanes_f32(lo, L).astype(jnp.int32)
+    )
+
+
+_SENT = -3.0e38  # below any real log-prob; sorts invalid/pad lanes last
+
+
+def _bitonic_sort_desc(lp, arrays):
+    """In-kernel bitonic sort of (B, L) lanes, descending by
+    (lp, arrays[0]) with arrays[0] (the unique generation index) as the
+    ascending tiebreak — a strict total order, so the network output is
+    exactly the reference's stable-sort permutation. All payload arrays
+    move together. L power of two. Costs ~L log^2 L lane-ops: measured
+    3.5 us for L=128 with 4 payloads on v5e — ~5x cheaper than the
+    pairwise-rank formulation it replaces (docs/DECODE_PROFILE.md r5).
+
+    Mosaic notes: the butterfly partner (index XOR j) is two cyclic
+    rolls + a lane-parity select; i1-valued selects are expressed in
+    and/or form (Mosaic cannot select on i1 vectors)."""
+    B, L = lp.shape
+    gen = arrays[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    k = 2
+    while k <= L:
+        j = k // 2
+        while j >= 1:
+            roll2 = lambda z: (
+                pltpu.roll(z, L - j, axis=1), pltpu.roll(z, j, axis=1)
+            )
+            is_lo = (lane & j) == 0
+            lp_a, lp_b = roll2(lp)
+            lp_p = jnp.where(is_lo, lp_a, lp_b)
+            parts = []
+            for z in arrays:
+                za, zb = roll2(z)
+                parts.append(jnp.where(is_lo, za, zb))
+            gen_p = parts[0]
+            eq = lp_p == lp
+            pbs = (lp_p > lp) | (eq & (gen_p < gen))  # partner first
+            sbp = (lp > lp_p) | (eq & (gen < gen_p))  # self first
+            desc = (lane & k) == 0
+            t1 = (is_lo & pbs) | (~is_lo & sbp)
+            t2 = (is_lo & sbp) | (~is_lo & pbs)
+            take = (desc & t1) | (~desc & t2)
+            lp = jnp.where(take, lp_p, lp)
+            arrays = [
+                jnp.where(take, zp, z) for z, zp in zip(arrays, parts)
+            ]
+            gen = arrays[0]
+            j //= 2
+        k *= 2
+    return lp, arrays
+
+
+def _select_bitonic(clp, valid, eq_keys, gen, W_out, diag_mask=None):
+    """Drop-in replacement for _select_sort_free/_select_sort_free_tiled
+    built on a full bitonic sort instead of O(C^2) pairwise rank algebra.
+
+    Identical semantics (ranks, adjacent dedup, pad-by-repetition,
+    empty-beam gen-0 sentinel, diagonal re-injection) — the sorted order
+    by (lp desc, gen asc) IS the pairwise rank order, dedup becomes an
+    adjacent compare, survivor rank a lane prefix-sum. Returns
+    (hit3 (B, W_out, C) i1 one-hot, n (B, 1) i32 survivors).
+
+    Cost: ~L log^2 L tiny lane-ops (L = C padded to a power of two)
+    vs the pairwise forms' ~C^2-element reductions: 20.2 -> ~7 us for
+    the full v2 beam kernel at C=80 on v5e (scripts/probe_fused.py)."""
+    B, C = clp.shape
+    L = 1 << max(1, (C - 1).bit_length())
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+
+    lp0 = jnp.where(valid, clp, _SENT)
+    if L == C:
+        lp = lp0
+        gen_L = gen
+        eks = list(eq_keys)
+        diag_L = (
+            diag_mask.astype(jnp.int32) if diag_mask is not None else None
+        )
+    else:
+        lp = _widen_lanes_f32(lp0, L)
+        lp = jnp.where(lane < C, lp, _SENT)
+        # Pad lanes get unique gen ids >= C (never selected: lp = SENT).
+        gen_L = jnp.where(lane < C, _widen_lanes_i32(gen, L), lane)
+        eks = [_widen_lanes_i32(k, L) for k in eq_keys]
+        diag_L = (
+            _widen_lanes_i32(diag_mask.astype(jnp.int32), L)
+            if diag_mask is not None
+            else None
+        )
+    arrays = [gen_L] + eks + ([diag_L] if diag_L is not None else [])
+    lp_s, arrays = _bitonic_sort_desc(lp, arrays)
+    gen_s = arrays[0]
+    eks_s = arrays[1:1 + len(eq_keys)]
+    diag_s = arrays[-1] if diag_L is not None else None
+
+    finite = lp_s > jnp.float32(_SENT * 0.9)
+    fin32 = finite.astype(jnp.int32)
+    prev = lambda z: pltpu.roll(z, 1, axis=1)
+    eqadj = (lp_s == prev(lp_s)) & (prev(fin32) == 1)
+    for ek in eks_s:
+        eqadj &= ek == prev(ek)
+    dup = finite & (lane >= 1) & eqadj
+    keep = finite & ~dup
+    k32 = keep.astype(jnp.int32)
+    # Lane prefix-sum (inclusive) of keep.
+    csum = k32
+    sh = 1
+    while sh < L:
+        csum = csum + jnp.where(
+            lane >= sh, pltpu.roll(csum, sh, axis=1), 0
+        )
+        sh *= 2
+    n = csum[:, L - 1:L]  # (B, 1)
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (B, W_out), 1)
+    n_safe = jnp.maximum(n, 1)
+    want = jnp.where(j < n, j % n_safe, (j - n) % n_safe)
+    want = jnp.where(n == 0, -1, want)
+    key_s = (csum - 1) + (1 - k32) * (L + 1)
+    key_s = jnp.where((n == 0) & (gen_s == 0), -1, key_s)
+
+    if diag_s is not None:
+        dk = keep & (diag_s == 1)
+        dk32 = dk.astype(jnp.int32)
+        any_diag = jnp.sum(dk32, axis=1, keepdims=True) > 0
+        firstpos = jnp.min(jnp.where(dk, lane, L), axis=1, keepdims=True)
+        want = jnp.where(
+            (j == W_out - 1) & any_diag & (n > 0), -2, want
+        )
+        key2_s = jnp.where(
+            (lane == firstpos) & any_diag & (n > 0), -2, key_s
+        )
+        hitW = (key_s[:, None, :] == want[:, :, None]) | (
+            key2_s[:, None, :] == want[:, :, None]
+        )
+    else:
+        hitW = key_s[:, None, :] == want[:, :, None]
+
+    slotgen = jnp.sum(
+        jnp.where(hitW, gen_s[:, None, :], 0), axis=2
+    )  # (B, W_out)
+    hit3 = slotgen[:, :, None] == gen[:, None, :]
+    return hit3, n
+
+
+def _select(clp, valid, eq_keys, gen, W_out, diag_mask=None):
+    """Selection dispatch: the bitonic formulation (round 5) everywhere —
+    it dominates both pairwise forms at every C this framework uses and
+    its live set is O(B*L) lanes, not O(B*C*C). The pairwise forms are
+    kept for conformance cross-checks (scripts/probe_select_impls.py,
+    tests exercise both)."""
+    return _select_bitonic(clp, valid, eq_keys, gen, W_out, diag_mask)
+
+
 def beam_search_step_batched(
     h: jax.Array,
     log_prob_history: jax.Array,
@@ -668,20 +846,9 @@ def _make_v2_kernel(
             overrun_multiplier=overrun_multiplier,
             diag_lo=diag_lo, diag_hi=diag_hi,
         )
-        if C % 8 == 0:
-            # j-slab tiled selection: O(B*8*C) live temps instead of
-            # O(B*C*C), so the whole batch fits one grid block at C ~ 80
-            # (the one-shot algebra capped blocks at 4 rows and lost to
-            # XLA on VMEM-stack spill; docs/DECODE_PROFILE.md).
-            hit3, n = _select_sort_free_tiled(
-                lp, valid, [ekey1, ekey2], gen, W_out,
-                diag_mask=diag_mask,
-            )
-        else:
-            hit3, n = _select_sort_free(
-                lp, valid, [ekey1, ekey2], gen, W_out,
-                diag_mask=diag_mask,
-            )
+        hit3, n = _select(
+            lp, valid, [ekey1, ekey2], gen, W_out, diag_mask=diag_mask
+        )
 
         def pick_f32(x):
             return jnp.sum(jnp.where(hit3, x[:, None, :], 0.0), axis=2)
@@ -877,14 +1044,7 @@ def _make_tone_kernel(W_out: int, K: int, empty_tone_id: int,
 
         ekey1 = nt * 16384 + nu
         ekey2 = pred * 2 + cfin.astype(jnp.int32)
-        if C % 8 == 0:
-            hit3, _n = _select_sort_free_tiled(
-                lp, valid, [ekey1, ekey2], gen, W_out
-            )
-        else:
-            hit3, _n = _select_sort_free(
-                lp, valid, [ekey1, ekey2], gen, W_out
-            )
+        hit3, _n = _select(lp, valid, [ekey1, ekey2], gen, W_out)
 
         branch = _pick_i32(hit3, parent)
         opred_ref[:] = _pick_i32(hit3, pred)[:, None, :]

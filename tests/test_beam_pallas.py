@@ -417,3 +417,57 @@ def test_tone_kernel_state_reorder():
                                       err_msg=f"trial {trial}")
         for xa, xb in zip(a[:6], b[:6]):
             np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_select_bitonic_equals_sort_free():
+    """Round 5: the bitonic selection must produce the IDENTICAL hit
+    one-hot and survivor count as the pairwise sort-free forms, across
+    random inputs engineered to contain ties, duplicates (equal eq-keys),
+    invalid lanes, empty beams, and diagonal re-injections."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ssnt_tts_tpu.ops import beam_pallas as bp
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        B = int(rng.integers(1, 5))
+        W_out = int(rng.integers(2, 9))
+        C = int(rng.choice([16, 20, 64, 80, 128]))
+        # Coarse-quantized log-probs force plenty of exact ties.
+        clp = jnp.asarray(
+            np.round(rng.normal(0, 1, (B, C)) * 4) / 4, jnp.float32
+        )
+        valid = jnp.asarray(rng.random((B, C)) < 0.7)
+        if trial % 5 == 0:
+            valid = valid.at[0].set(False)  # empty beam row
+        ek1 = jnp.asarray(rng.integers(0, 3, (B, C)), jnp.int32)
+        ek2 = jnp.asarray(
+            rng.integers(0, 3, (B, C)) * 131072
+            + rng.integers(0, 2, (B, C)),
+            jnp.int32,
+        )
+        gen = jnp.broadcast_to(
+            jnp.arange(C, dtype=jnp.int32)[None], (B, C)
+        )
+        diag = (
+            jnp.asarray(rng.random((B, C)) < 0.2)
+            if trial % 2
+            else None
+        )
+        h_ref, n_ref = jax.jit(
+            lambda a, v, k1, k2, g: bp._select_sort_free(
+                a, v, [k1, k2], g, W_out, diag_mask=diag
+            )
+        )(clp, valid, ek1, ek2, gen)
+        h_bit, n_bit = jax.jit(
+            lambda a, v, k1, k2, g: bp._select_bitonic(
+                a, v, [k1, k2], g, W_out, diag_mask=diag
+            )
+        )(clp, valid, ek1, ek2, gen)
+        np.testing.assert_array_equal(
+            np.asarray(n_ref), np.asarray(n_bit), err_msg=f"trial {trial}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(h_ref), np.asarray(h_bit), err_msg=f"trial {trial}"
+        )
