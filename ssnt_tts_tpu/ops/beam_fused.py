@@ -202,6 +202,7 @@ def _make_fused_kernel(
     diag_lo: float = -20.0,
     diag_hi: float = 0.0,
     empty_tone_id: int = 0,
+    feas_guard: bool = False,
 ):
     """kind: "v2" (duration constraints + re-injection + survivor count)
     or "tone" (no duration bookkeeping)."""
@@ -217,13 +218,13 @@ def _make_fused_kernel(
              outb_ref,
              opred_ref, olp_ref, ont_ref, onu_ref, ofin_ref, otot_ref,
              obr_ref, onsurv_ref, oemptied_ref, opc_ref,
-             ostate_ref) = rest
+             ostate_ref, ostep_ref) = rest
         else:
             (t_ref, u_ref, il_ref,
              embed_ref, wi_ref, bi_ref, wh_ref, bhn_ref, outk_ref,
              outb_ref,
              opred_ref, olp_ref, ont_ref, onu_ref, ofin_ref,
-             obr_ref, opc_ref, ostate_ref) = rest
+             obr_ref, opc_ref, ostate_ref, ostep_ref) = rest
         B = state_ref.shape[0]
 
         # ---- model: AR class step for all (b, w) rows ----
@@ -263,6 +264,7 @@ def _make_fused_kernel(
                 band_upper_frac=band_upper_frac,
                 overrun_multiplier=overrun_multiplier,
                 diag_lo=diag_lo, diag_hi=diag_hi,
+                feas_guard=feas_guard,
             )
         else:
             hist, finf, tf, uf = _expand_parent_major(
@@ -315,6 +317,10 @@ def _make_fused_kernel(
             jnp.where(hit3, pred[:, None, :], 0), axis=2, keepdims=True
         )
         ostate_ref[:] = _reorder_rows(new_state, branch, W)
+        # Next step index: the scan body then contains NOTHING but this
+        # kernel (the +1 would otherwise be its own ~0.75 us dispatch).
+        # Stored as a (1, 1) broadcast: Mosaic cannot store scalars.
+        ostep_ref[:] = jnp.broadcast_to(s_ref[0, 0] + 1, (1, 1))
 
     return kernel
 
@@ -369,8 +375,9 @@ def fused_class_beam_step(
 
     Returns, v2: (pred, lp, nt, nu, nfin, ntot, branch) each (B, 1, W),
     nsurv (B, 1, 1), emptied (B, 1, 1), prev_class (B, W, 1),
-    state (B, W, H). Tone: (pred, lp, nt, nu, nfin, branch),
-    prev_class, state.
+    state (B, W, H), next_step (1, 1). Tone: (pred, lp, nt, nu, nfin,
+    branch), prev_class, state, next_step. next_step = s + 1 emitted by
+    the kernel so the scan body is exactly ONE dispatch.
     """
     from ssnt_tts_tpu.utils.config import V2BeamConfig
 
@@ -390,6 +397,7 @@ def fused_class_beam_step(
         diag_lo=float(cfg.diagonal_window[0]),
         diag_hi=float(cfg.diagonal_window[1]),
         empty_tone_id=empty_tone_id,
+        feas_guard=bool(getattr(cfg, "final_feasible_guard", False)),
     )
     bb = _fused_block(B, C, W, H)
     row = lambda width: pl.BlockSpec(
@@ -397,7 +405,7 @@ def fused_class_beam_step(
     )
     full2 = lambda a, b_: pl.BlockSpec((a, b_), lambda i, sr: (0, 0))
     path = lambda width, dt: pl.BlockSpec(
-        (1, bb, width), lambda i, sr: (sr[0], i, 0)
+        (1, bb, width), lambda i, sr: (sr[0, 0], i, 0)
     )
     sub = lambda n_, width: pl.BlockSpec(
         (bb, n_, width), lambda i, sr: (i, 0, 0)
@@ -461,6 +469,8 @@ def fused_class_beam_step(
         jax.ShapeDtypeStruct((B, W, 1), jnp.int32),      # prev_class
         jax.ShapeDtypeStruct((B, W, H), jnp.float32),    # state
     ]
+    out_specs += [pl.BlockSpec((1, 1), lambda i, sr: (0, 0))]
+    out_shape += [jax.ShapeDtypeStruct((1, 1), jnp.int32)]  # s + 1
 
     return pl.pallas_call(
         kernel,
@@ -472,4 +482,4 @@ def fused_class_beam_step(
         ),
         out_shape=out_shape,
         interpret=_interpret(),
-    )(jnp.asarray(s, jnp.int32), *args)
+    )(jnp.asarray(s, jnp.int32).reshape(1, 1), *args)

@@ -711,6 +711,7 @@ def _v2_candidates(
     overrun_multiplier: int,
     diag_lo: float,
     diag_hi: float,
+    feas_guard: bool = False,
 ):
     """Beam-major v2 candidate grid on (B, C) lane vectors (semantics:
     ops/beam_v2.beam_search_step; reference src/v2.rs:119-166, 313-323).
@@ -752,6 +753,24 @@ def _v2_candidates(
     valid = active & skip_ok
     if not test_mode:
         valid = valid & band_ok & (~overrun) & final_len_ok
+        if feas_guard:
+            # V2BeamConfig.final_feasible_guard (round-5 empty-beam
+            # remedy): future f = T-1-t positions add [f*dmin, f*dmax]
+            # frames; prune candidates that cannot land on U exactly.
+            lane1 = jax.lax.broadcasted_iota(
+                jnp.int32, dtab.shape, 1
+            )
+            adm = jnp.where(
+                jnp.full(dtab.shape, True)
+                if allow_skip
+                else (lane1 % D != zero_duration_id),
+                dtab, jnp.int32(2**30),
+            )
+            dmin = jnp.min(adm, axis=1, keepdims=True)
+            dmax = jnp.max(dtab, axis=1, keepdims=True)
+            f = jnp.maximum(T - 1 - t, 0)
+            rem = U - tot
+            valid = valid & (rem >= f * dmin) & (rem <= f * dmax)
 
     pred = d_ids
     lp = hist + h
@@ -799,6 +818,7 @@ def _make_v2_kernel(
     diag_lo: float,
     diag_hi: float,
     reorder_state: bool = False,
+    feas_guard: bool = False,
 ):
     """Fused v2 duration-class step (semantics: ops/beam_v2.beam_search_step,
     reference /root/reference/src/v2.rs:119-166, 269-339). With
@@ -845,6 +865,7 @@ def _make_v2_kernel(
             band_upper_frac=band_upper_frac,
             overrun_multiplier=overrun_multiplier,
             diag_lo=diag_lo, diag_hi=diag_hi,
+            feas_guard=feas_guard,
         )
         hit3, n = _select(
             lp, valid, [ekey1, ekey2], gen, W_out, diag_mask=diag_mask
@@ -930,6 +951,7 @@ def v2_beam_search_decode(
         int(cfg.overrun_multiplier),
         float(cfg.diagonal_window[0]), float(cfg.diagonal_window[1]),
         reorder_state=state is not None,
+        feas_guard=bool(getattr(cfg, "final_feasible_guard", False)),
     )
     rep = lambda x: jnp.repeat(x, D, axis=1).reshape(B, 1, C)
     # Block sized for the selection path the kernel will actually take:

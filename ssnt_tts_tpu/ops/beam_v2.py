@@ -124,6 +124,20 @@ def beam_search_step(
     valid = active[:, None] & skip_ok[None, :]
     if not test_mode:
         valid = valid & band_ok & (~overrun)[:, None] & final_len_ok
+        if cfg.final_feasible_guard:
+            # Round-5 remedy (V2BeamConfig.final_feasible_guard): the
+            # f = T-1-t future positions can only add [f*dmin, f*dmax]
+            # frames, so candidates with U - tot outside that range can
+            # never satisfy the exact-final rule — prune them now.
+            adm = jnp.where(
+                skip_ok, duration_table,
+                jnp.iinfo(jnp.int32).max,
+            )
+            dmin = jnp.min(adm)
+            dmax = jnp.max(duration_table)
+            f = jnp.maximum(T - 1 - t, 0)[:, None]  # (W, 1)
+            rem = U - tot
+            valid = valid & (rem >= f * dmin) & (rem <= f * dmax)
 
     fin = jnp.broadcast_to(last[:, None], (W, D))
     pred = jnp.broadcast_to(class_ids[None, :], (W, D))

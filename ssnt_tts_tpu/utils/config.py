@@ -39,6 +39,17 @@ class V2BeamConfig:
     overrun_multiplier: int = 3
     # src/v2.rs:116 (diagonal re-injection window, frames)
     diagonal_window: Tuple[float, float] = (-20.0, 0.0)
+    # Round-5 empty-beam remedy (VERDICT r4 #2): prune candidates that
+    # provably CANNOT reach total_duration == output_length — after this
+    # candidate, the remaining f = T-1-t positions can only add
+    # [f*dmin, f*dmax] frames (dmin over admissible classes), so any
+    # candidate with U - tot outside that range is doomed; pruning it
+    # early keeps beam slots for hypotheses that can still land exactly
+    # (a strict generalization of the reference's t==T-1 exact-final
+    # rule, src/v2.rs:135-137 — at f=0 it IS that rule). Default False:
+    # the reference has no such guard, and parity-at-defaults is the
+    # conformance contract. Ignored in test_mode like every other prune.
+    final_feasible_guard: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

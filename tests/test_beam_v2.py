@@ -257,3 +257,104 @@ def test_config_round_trip():
     # relaxed config must differ — proving the constants are no longer
     # hard-coded in the kernel.
     assert int(relaxed[-1]) > int(base[-1])
+
+
+def test_final_feasible_guard_prunes_doomed_candidates():
+    """Round-5 empty-beam remedy: with the guard on, a candidate whose
+    remaining positions cannot reach output_length exactly is pruned
+    NOW (not at t=T-1); feasible candidates are untouched."""
+    import jax.numpy as jnp
+    import numpy as np
+    from ssnt_tts_tpu.ops import beam_v2
+    from ssnt_tts_tpu.utils.config import V2BeamConfig
+
+    # T=4, U=8, table [0,1,2,3], no skip -> dmin=1, dmax=3. At t=1 a
+    # candidate has f = 2 future positions: needs 2 <= U - tot <= 6.
+    dtab = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    h = jnp.asarray([[[-1.0, -0.5, -0.5, -0.5],
+                      [-1.0, -0.5, -0.5, -0.5]]], jnp.float32)
+    hist = jnp.asarray([[0.0, 0.0]], jnp.float32)
+    fin = jnp.zeros((1, 2), bool)
+    # w0 tot0=3: cands tot 4,5,6; rem 4,3,2 all feasible (>=2).
+    # w1 tot0=5: cands tot 6,7,8; rem 2,1,0 -> d2 (rem 1) and d3
+    # (rem 0) are DOOMED (rem < f*dmin = 2); d1 (rem 2) feasible.
+    tot = jnp.asarray([[3, 5]], jnp.int32)
+    t = jnp.asarray([[1, 1]], jnp.int32)
+    u = jnp.asarray([[1, 1]], jnp.int32)
+    il = jnp.asarray([4], jnp.int32)
+    ol = jnp.asarray([8], jnp.int32)
+
+    # Band at t=1: diag = 4.0 -> [3, 4]; so band alone keeps
+    # w0 {d1 tot4}, w1 {}(tot 6,7,8 all > 4)... widen the band to
+    # isolate the guard's effect.
+    wide = V2BeamConfig(band_lower_frac=1.0, band_upper_frac=1.0)
+    guard = V2BeamConfig(band_lower_frac=1.0, band_upper_frac=1.0,
+                         final_feasible_guard=True)
+    kw = dict(zero_duration_id=0, allow_skip=False, test_mode=False)
+    pred_w, lp_w, *_ = beam_v2.beam_search_decode(
+        h, hist, fin, tot, dtab, t, u, il, ol, config=wide, **kw
+    )
+    pred_g, lp_g, nt_g, nu_g, fin_g, tot_g, br_g = (
+        beam_v2.beam_search_decode(
+            h, hist, fin, tot, dtab, t, u, il, ol, config=guard, **kw
+        )
+    )
+    # Without guard: w1 d2/d3 (doomed) compete; with guard they are
+    # gone — surviving set {w0d1..d3, w1d1}, all lp -0.5, stable order
+    # w0d1 first. w0d1 (tot 4, next_t 2, diag 4.0, diff 0) is also the
+    # first on-diagonal candidate, so it is re-injected into the last
+    # slot (src/v2.rs:282-308): both slots hold w0d1.
+    np.testing.assert_array_equal(np.asarray(pred_g), [[1, 1]])
+    np.testing.assert_array_equal(np.asarray(br_g), [[0, 0]])
+    # Feasible candidates keep identical fields vs the unguarded run
+    # (the guard only removes, never rescores).
+    assert float(lp_g[0, 0]) == float(lp_w[0, 0]) == -0.5
+
+
+def test_final_feasible_guard_kernel_agreement():
+    """Guarded decode agrees across XLA / beam kernel / fused kernel."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    import ssnt_tts_tpu.ops.beam_pallas as bp
+    from ssnt_tts_tpu.models import SSNTModel
+    from ssnt_tts_tpu.parallel import decode as decode_lib
+    from ssnt_tts_tpu.utils.config import V2BeamConfig, tiny_model_config
+
+    old = bp._INTERPRET
+    bp._INTERPRET = True
+    try:
+        cfg = tiny_model_config()
+        model = SSNTModel(cfg)
+        rng = np.random.default_rng(3)
+        B, T, W, U = 4, 12, 8, 24
+        toks = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, T)),
+                           jnp.int32)
+        il = jnp.asarray([12, 9, 12, 5], jnp.int32)
+        ol = jnp.asarray([20, 16, 24, 10], jnp.int32)
+        mel = jnp.asarray(rng.normal(0, 1, (B, U, cfg.mel_dim)),
+                          jnp.float32)
+        dd = jnp.zeros((B, T), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), toks, mel, il, ol,
+                            dd, dd, method=model.loss)
+        dtab = jnp.asarray(cfg.duration_table, jnp.int32)
+        gcfg = V2BeamConfig(final_feasible_guard=True)
+        kw = dict(beam_width=W, max_frames=U, config=gcfg)
+        out_x = decode_lib.v2_duration_decode(
+            model, params, toks, il, ol, dtab,
+            fuse_model=False, use_pallas=False, **kw)
+        out_k = decode_lib.v2_duration_decode(
+            model, params, toks, il, ol, dtab,
+            fuse_model=False, use_pallas=True, **kw)
+        out_f = decode_lib.v2_duration_decode(
+            model, params, toks, il, ol, dtab, fuse_model=True, **kw)
+        for k in ["prediction", "beam_branch", "output_length",
+                  "total_duration", "beam_emptied", "log_prob"]:
+            np.testing.assert_array_equal(
+                np.asarray(out_x[k]), np.asarray(out_k[k]),
+                err_msg=f"kernel {k}")
+            np.testing.assert_array_equal(
+                np.asarray(out_x[k]), np.asarray(out_f[k]),
+                err_msg=f"fused {k}")
+    finally:
+        bp._INTERPRET = old
