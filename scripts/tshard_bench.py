@@ -30,7 +30,7 @@ def main():
     p.add_argument("--shape", type=int, nargs=3, default=[400, 8, 64],
                    metavar=("U", "B", "T"))
     p.add_argument("--steps", type=int, default=6)
-    p.add_argument("--blocks", type=int, nargs="+", default=[1, 8, 32])
+    p.add_argument("--blocks", type=int, nargs="+", default=[1, 8, 16, 40, 80, 100])
     p.add_argument("--json", type=str, default=None)
     args = p.parse_args()
 

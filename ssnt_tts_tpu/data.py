@@ -65,8 +65,18 @@ class SyntheticTTSDataset:
         for b in range(B):
             Tb = input_length[b]
             # Random positive durations summing to <= U: expected U/T frames
-            # per token, at least 1 (every token emits).
-            max_per = max(1, (U // Tb) * 2 - 1)
+            # per token, at least 1 (every token emits), at most D-1 so the
+            # duration-CLASS targets are exactly the durations. (Round-5
+            # fix: the generator previously drew durations up to
+            # (U//Tb)*2-1 > D-1 and clipped only the class targets, so
+            # sum(duration_target) != output_length and — when
+            # (D-1)*Tb < output_length — the utterance was INFEASIBLE in
+            # the v2 alignment space: no class sequence can land
+            # output_length exactly, the state where the reference
+            # panics (src/v2.rs:292). A large part of the eval
+            # empty-beam rate was this data inconsistency, not decode
+            # behavior.)
+            max_per = max(1, min((U // Tb) * 2 - 1, self.D - 1))
             d = rng.integers(1, max_per + 1, Tb)
             scale = min(1.0, (U - Tb) / max(1, d.sum() - Tb))
             d = np.maximum(1, np.round(d * scale)).astype(np.int64)

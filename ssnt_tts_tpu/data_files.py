@@ -177,8 +177,16 @@ class PaddingStats:
 class NpzShardDataset:
     """Reads flat+offset shards and emits length-bucketed padded batches."""
 
-    def __init__(self, data_dir: str, buckets: Optional[Sequence[Bucket]] = None):
+    def __init__(self, data_dir: str, buckets: Optional[Sequence[Bucket]] = None,
+                 cache_shards: int = 16):
         self.data_dir = data_dir
+        # Shard LRU bound. batches() shuffles example order GLOBALLY, so
+        # a small cache thrashes (each example can hit a different
+        # shard: ~45 MB decompressed per miss — the round-5 eval burned
+        # ~minutes per batch at the old bound of 3). 16 shards = 8K
+        # examples resident; datasets beyond that should shuffle
+        # within-shard or raise the bound to taste.
+        self.cache_shards = int(cache_shards)
         self.paths = sorted(
             os.path.join(data_dir, p)
             for p in os.listdir(data_dir)
@@ -217,7 +225,7 @@ class NpzShardDataset:
 
     def _shard(self, si: int) -> Dict[str, np.ndarray]:
         if si not in self._cache:
-            if len(self._cache) > 2:  # keep the working set tiny
+            if len(self._cache) >= self.cache_shards:
                 self._cache.pop(next(iter(self._cache)))
             with np.load(self.paths[si]) as z:
                 self._cache[si] = {k: z[k] for k in z.files}

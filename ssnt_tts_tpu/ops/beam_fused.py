@@ -66,6 +66,12 @@ from ssnt_tts_tpu.ops.beam_pallas import (
     _v2_candidates,
 )
 
+# Budget-probe ablation switch (scripts/probe_budget_r5.py): replaces the
+# bitonic selection with a trivial slot<-candidate identity so the
+# non-selection kernel cost is separately measurable. NEVER set outside
+# probes.
+_TRIVIAL_SELECT = False
+
 
 class FusedWeights(NamedTuple):
     """Kernel-ready weight arrays (pre-cast once, outside the scan, to
@@ -294,9 +300,14 @@ def _make_fused_kernel(
             ekey1 = nt * 16384 + nu
             ekey2 = pred * 2 + cfin.astype(jnp.int32)
 
-        hit3, n = _select(
-            clp, valid, [ekey1, ekey2], gen, W, diag_mask=diag_mask
-        )
+        if _TRIVIAL_SELECT:
+            jj = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+            hit3 = gen[:, None, :] == jj[:, :, None]
+            n = jnp.sum(valid.astype(jnp.int32), axis=1, keepdims=True)
+        else:
+            hit3, n = _select(
+                clp, valid, [ekey1, ekey2], gen, W, diag_mask=diag_mask
+            )
 
         branch = _pick_i32(hit3, parent)   # (B, W)
         opred_ref[:] = _pick_i32(hit3, pred)[:, None, :]

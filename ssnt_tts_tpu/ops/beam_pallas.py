@@ -509,7 +509,11 @@ def _select_bitonic(clp, valid, eq_keys, gen, W_out, diag_mask=None):
     vs the pairwise forms' ~C^2-element reductions: 20.2 -> ~7 us for
     the full v2 beam kernel at C=80 on v5e (scripts/probe_fused.py)."""
     B, C = clp.shape
-    L = 1 << max(1, (C - 1).bit_length())
+    # Pad to >= 128 lanes: cyclic rolls at native vreg width lower to
+    # plain lane rotates; sub-vreg widths (64, 16) measured SLOWER than
+    # a full 128-lane network despite fewer stages
+    # (scripts/probe_budget_r5.py: L=64 sort 6.1 us vs L=128 3.4 us).
+    L = max(128, 1 << max(1, (C - 1).bit_length()))
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
 
     lp0 = jnp.where(valid, clp, _SENT)
