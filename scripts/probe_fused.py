@@ -123,6 +123,18 @@ def chain_v2(fuse, use_pallas):
     return step
 
 
+def chain_v1(fuse, use_pallas):
+    def step(p):
+        out = decode_lib.beam_decode(
+            model, p, batch["tokens"], batch["input_length"],
+            max_frames=U, beam_width=W, fuse_model=fuse,
+            use_pallas=use_pallas,
+        )
+        eps = out["log_prob"].ravel()[0] * 1e-20
+        return jax.tree.map(lambda q: q + eps, p)
+    return step
+
+
 def chain_tone(fuse, use_pallas):
     def step(p):
         out = decode_lib.tone_decode(
@@ -134,14 +146,16 @@ def chain_tone(fuse, use_pallas):
     return step
 
 
-for name, step in [
-    ("v2 fused    ", chain_v2(True, None)),
-    ("v2 r4 kernel", chain_v2(False, True)),
-    ("tone fused    ", chain_tone(True, None)),
-    ("tone r4 kernel", chain_tone(False, True)),
+for name, step, den in [
+    ("v2 fused    ", chain_v2(True, None), T),
+    ("v2 r4 kernel", chain_v2(False, True), T),
+    ("tone fused    ", chain_tone(True, None), T),
+    ("tone r4 kernel", chain_tone(False, True), T),
+    ("v1 fused    ", chain_v1(True, None), U),
+    ("v1 r4 kernel", chain_v1(False, True), U),
 ]:
     log(f"timing {name} (compiling)...")
     dt = bench_step(step, params, n_lo=2, n_hi=16)
-    log(f"  {name}: {dt/T*1e6:8.2f} us/source-step   ({dt*1e3:.2f} ms/decode)")
+    log(f"  {name}: {dt/den*1e6:8.2f} us/step   ({dt*1e3:.2f} ms/decode)")
 
 log(f"done ({'ALL CONTRACTS PASS' if not fail else 'FAILED: ' + ', '.join(fail)})")

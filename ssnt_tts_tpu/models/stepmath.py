@@ -211,3 +211,159 @@ def class_decode_paths(
     idx = jnp.clip(idx, 0, T - 1)                      # (T, B)
     b_idx = jnp.arange(B, dtype=jnp.int32)[None, :]
     return xin_all[b_idx, idx], base_all[b_idx, idx]
+
+
+# ---------------------------------------------------------------- v1 path
+
+class V1StepWeights(NamedTuple):
+    """Flat weights for the v1 mel-decode step (ARDecoderCell +
+    TransitionJoint + FrameJoint decode sides). Enc-side projections
+    (enc_proj / enc_bias / enc_mel) are separate: they hoist out of the
+    scan into the packed enc path (v1_enc_pack)."""
+
+    prenet_w1: jax.Array  # (M, H)
+    prenet_b1: jax.Array
+    prenet_w2: jax.Array  # (H, H)
+    prenet_b2: jax.Array
+    wi: jax.Array         # (H, 3H) GRU input kernel [r|z|n]
+    bi: jax.Array
+    wh: jax.Array         # (H, 3H) GRU recurrent kernel
+    bhn: jax.Array
+    dec_pre_k: jax.Array  # (H, R)
+    dec_pre_b: jax.Array
+    dec_proj_k: jax.Array  # (R, 2R)
+    dec_proj_b: jax.Array
+    dec_bias_k: jax.Array  # (H, 2) f32
+    dec_bias_b: jax.Array
+    dec_mel_k: jax.Array   # (H, M)
+    dec_mel_b: jax.Array
+    enc_proj_k: jax.Array  # (He, 2R)
+    enc_proj_b: jax.Array
+    enc_bias_k: jax.Array  # (He, 2) f32
+    enc_bias_b: jax.Array
+    enc_mel_k: jax.Array   # (He, M)
+    enc_mel_b: jax.Array
+
+
+def extract_v1_step_weights(params) -> V1StepWeights:
+    p = params["params"]
+    ar = p["ar_cell"]
+    cell = ar["cell"]
+    tr = p["transition"]
+    fr = p["frame"]
+    wi = jnp.concatenate(
+        [cell["ir"]["kernel"], cell["iz"]["kernel"], cell["in"]["kernel"]],
+        axis=1,
+    )
+    bi = jnp.concatenate(
+        [cell["ir"]["bias"], cell["iz"]["bias"], cell["in"]["bias"]]
+    )
+    wh = jnp.concatenate(
+        [cell["hr"]["kernel"], cell["hz"]["kernel"], cell["hn"]["kernel"]],
+        axis=1,
+    )
+    return V1StepWeights(
+        prenet_w1=ar["prenet"]["Dense_0"]["kernel"],
+        prenet_b1=ar["prenet"]["Dense_0"]["bias"],
+        prenet_w2=ar["prenet"]["Dense_1"]["kernel"],
+        prenet_b2=ar["prenet"]["Dense_1"]["bias"],
+        wi=wi, bi=bi, wh=wh, bhn=cell["hn"]["bias"],
+        dec_pre_k=tr["dec_pre"]["kernel"],
+        dec_pre_b=tr["dec_pre"]["bias"],
+        dec_proj_k=tr["dec_proj"]["kernel"],
+        dec_proj_b=tr["dec_proj"]["bias"],
+        dec_bias_k=tr["dec_bias"]["kernel"],
+        dec_bias_b=tr["dec_bias"]["bias"],
+        dec_mel_k=fr["dec_mel"]["kernel"],
+        dec_mel_b=fr["dec_mel"]["bias"],
+        enc_proj_k=tr["enc_proj"]["kernel"],
+        enc_proj_b=tr["enc_proj"]["bias"],
+        enc_bias_k=tr["enc_bias"]["kernel"],
+        enc_bias_b=tr["enc_bias"]["bias"],
+        enc_mel_k=fr["enc_mel"]["kernel"],
+        enc_mel_b=fr["enc_mel"]["bias"],
+    )
+
+
+def v1_enc_pack(w: V1StepWeights, enc, dtype=jnp.bfloat16):
+    """Hoisted enc-side projections for the fused v1 decode, packed into
+    ONE (B, T, 2R + 2 + M) f32 array so the per-step per-beam gather is
+    a single take_along_axis: [enc_proj | enc_bias | enc_mel]. Values
+    are the flax projections exactly (bf16 results stored as f32 pass
+    through the round-trip unchanged)."""
+    bf = jnp.dtype(dtype)
+    f32 = jnp.float32
+    p = (
+        jnp.dot(enc.astype(bf), w.enc_proj_k.astype(bf),
+                preferred_element_type=f32).astype(bf)
+        + w.enc_proj_b.astype(bf)
+    ).astype(f32)
+    eb = jnp.dot(enc.astype(f32), w.enc_bias_k.astype(f32)) + (
+        w.enc_bias_b.astype(f32)
+    )
+    em = (
+        jnp.dot(enc.astype(bf), w.enc_mel_k.astype(bf),
+                preferred_element_type=f32).astype(bf)
+        + w.enc_mel_b.astype(bf)
+    ).astype(f32)
+    return jnp.concatenate([p, eb, em], axis=-1)
+
+
+def v1_step_math(w: V1StepWeights, gath, state, prev_mel,
+                 dtype=jnp.bfloat16, R2=None, M=None):
+    """v1 decode-step replica over the packed gather rows.
+
+    gath (N, 2R+2+M) f32 = v1_enc_pack gathered at each beam's t;
+    state (N, H) f32 GRU carry; prev_mel (N, M) f32.
+    Returns (h_e (N, 1), h_s (N, 1) transition log-probs, mel (N, M),
+    new_state (N, H)) — replicating SSNTModel.decode_step (prenet ->
+    GRU -> transition.step -> frame.predict) with the same casts.
+    Nonlinearities evaluate at f32 (see gru_step note)."""
+    bf = jnp.dtype(dtype)
+    f32 = jnp.float32
+    if R2 is None:
+        R2 = w.enc_proj_k.shape[1]
+    R = R2 // 2
+    if M is None:
+        M = w.enc_mel_k.shape[1]
+    p = gath[:, :R2].astype(bf)
+    eb = gath[:, R2:R2 + 2]
+    em = gath[:, R2 + 2:].astype(bf)
+
+    x = jnp.dot(prev_mel.astype(bf), w.prenet_w1.astype(bf),
+                preferred_element_type=f32).astype(bf) + (
+        w.prenet_b1.astype(bf))
+    x = jax.nn.relu(x)
+    x = jnp.dot(x, w.prenet_w2.astype(bf),
+                preferred_element_type=f32).astype(bf) + (
+        w.prenet_b2.astype(bf))
+    x = jax.nn.relu(x)
+    new_h = gru_step(w.wi, w.bi, w.wh, w.bhn, state, x)  # (N, H) f32
+    dec_out = new_h.astype(f32)
+
+    pre = jnp.dot(dec_out.astype(bf), w.dec_pre_k.astype(bf),
+                  preferred_element_type=f32).astype(bf) + (
+        w.dec_pre_b.astype(bf))
+    pre = jnp.tanh(pre.astype(f32)).astype(bf)
+    q = jnp.dot(pre, w.dec_proj_k.astype(bf),
+                preferred_element_type=f32).astype(bf) + (
+        w.dec_proj_b.astype(bf))
+    prod = (p * q).astype(f32)  # (N, 2R); f32 accumulation of the
+    # rank reduction (flax reduces in bf16; <= 1 ulp, f32-exact models
+    # identical)
+    le = jnp.sum(prod[:, :R], axis=1, keepdims=True)
+    ls = jnp.sum(prod[:, R:], axis=1, keepdims=True)
+    db = jnp.dot(dec_out, w.dec_bias_k.astype(f32)) + (
+        w.dec_bias_b.astype(f32))
+    le = le + eb[:, 0:1] + db[:, 0:1]
+    ls = ls + eb[:, 1:2] + db[:, 1:2]
+    # log_softmax over the two classes, associated exactly like
+    # jax.nn.log_softmax: shifted - log(sum(exp(shifted))).
+    mx = jnp.maximum(le, ls)
+    she, shs = le - mx, ls - mx
+    logS = jnp.log(jnp.exp(she) + jnp.exp(shs))
+    b_mel = jnp.dot(dec_out.astype(bf), w.dec_mel_k.astype(bf),
+                    preferred_element_type=f32).astype(bf) + (
+        w.dec_mel_b.astype(bf))
+    mel = (em + b_mel).astype(f32)
+    return she - logS, shs - logS, mel, new_h

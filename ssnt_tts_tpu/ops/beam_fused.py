@@ -494,3 +494,206 @@ def fused_class_beam_step(
         out_shape=out_shape,
         interpret=_interpret(),
     )(jnp.asarray(s, jnp.int32).reshape(1, 1), *args)
+
+
+# ------------------------------------------------------------ v1 fusion
+
+class V1FusedWeights(NamedTuple):
+    """Kernel-ready v1 decode-step weights (compute dtype pre-cast;
+    biases 2D — Mosaic 1D broadcasts are unsafe)."""
+
+    pw1: jax.Array   # (M, H)
+    pb1: jax.Array   # (1, H)
+    pw2: jax.Array   # (H, H)
+    pb2: jax.Array   # (1, H)
+    wi: jax.Array    # (H, 3H)
+    bi: jax.Array    # (1, 3H)
+    wh: jax.Array    # (H, 3H)
+    bhn: jax.Array   # (1, H)
+    dpre_k: jax.Array   # (H, R)
+    dpre_b: jax.Array   # (1, R)
+    dproj_k: jax.Array  # (R, 2R)
+    dproj_b: jax.Array  # (1, 2R)
+    dbias_k: jax.Array  # (H, 2) f32
+    dbias_b: jax.Array  # (1, 2) f32
+    dmel_k: jax.Array   # (H, M)
+    dmel_b: jax.Array   # (1, M)
+
+
+def prepare_v1_fused_weights(
+    w: stepmath.V1StepWeights, dtype=jnp.bfloat16
+) -> V1FusedWeights:
+    bf = jnp.dtype(dtype)
+    f32 = jnp.float32
+    r2 = lambda a: a.reshape(1, -1)
+    return V1FusedWeights(
+        pw1=w.prenet_w1.astype(bf), pb1=r2(w.prenet_b1.astype(bf)),
+        pw2=w.prenet_w2.astype(bf), pb2=r2(w.prenet_b2.astype(bf)),
+        wi=w.wi.astype(bf), bi=r2(w.bi.astype(bf)),
+        wh=w.wh.astype(bf), bhn=r2(w.bhn.astype(bf)),
+        dpre_k=w.dec_pre_k.astype(bf), dpre_b=r2(w.dec_pre_b.astype(bf)),
+        dproj_k=w.dec_proj_k.astype(bf),
+        dproj_b=r2(w.dec_proj_b.astype(bf)),
+        dbias_k=w.dec_bias_k.astype(f32),
+        dbias_b=r2(w.dec_bias_b.astype(f32)),
+        dmel_k=w.dec_mel_k.astype(bf), dmel_b=r2(w.dec_mel_b.astype(bf)),
+    )
+
+
+def _make_v1_fused_kernel(W: int, M: int, H: int, R2: int, dtype):
+    """Fused v1 decode step: prenet + GRU + transition/frame joints +
+    class-major candidate grid + bitonic selection + all per-beam state
+    reorders, one launch (semantics: SSNTModel.decode_step +
+    ops/beam_v1.beam_search_step; reference src/lib.rs:149-230). The
+    enc-side gather stays OUTSIDE (t is data-dependent in v1 — the
+    alignment search itself — unlike v2/tone's step-determined t)."""
+    C = 2 * W
+    from ssnt_tts_tpu.ops.beam_pallas import _v1_candidates_from_vals
+
+    def kernel(gath_ref, pm_ref, state_ref, lp_ref, fin_ref, t_ref,
+               u_ref, il_ref,
+               pw1_ref, pb1_ref, pw2_ref, pb2_ref, wi_ref, bi_ref,
+               wh_ref, bhn_ref, dpre_k_ref, dpre_b_ref, dproj_k_ref,
+               dproj_b_ref, dbias_k_ref, dbias_b_ref, dmel_k_ref,
+               dmel_b_ref,
+               opred_ref, olp_ref, ont_ref, onu_ref, ofin_ref, obr_ref,
+               othist_ref, omel_ref, ostate_ref):
+        B = state_ref.shape[0]
+        w = stepmath.V1StepWeights(
+            prenet_w1=pw1_ref[:], prenet_b1=pb1_ref[:],
+            prenet_w2=pw2_ref[:], prenet_b2=pb2_ref[:],
+            wi=wi_ref[:], bi=bi_ref[:], wh=wh_ref[:], bhn=bhn_ref[:],
+            dec_pre_k=dpre_k_ref[:], dec_pre_b=dpre_b_ref[:],
+            dec_proj_k=dproj_k_ref[:], dec_proj_b=dproj_b_ref[:],
+            dec_bias_k=dbias_k_ref[:], dec_bias_b=dbias_b_ref[:],
+            dec_mel_k=dmel_k_ref[:], dec_mel_b=dmel_b_ref[:],
+            enc_proj_k=None, enc_proj_b=None, enc_bias_k=None,
+            enc_bias_b=None, enc_mel_k=None, enc_mel_b=None,
+        )
+        he, hs, mel, new_h = stepmath.v1_step_math(
+            w, gath_ref[:].reshape(B * W, -1),
+            state_ref[:].reshape(B * W, H),
+            pm_ref[:].reshape(B * W, M),
+            dtype=dtype, R2=R2, M=M,
+        )
+        # Class-major h (B, C): emit lanes [0, W), shift lanes [W, 2W).
+        he3 = he.reshape(B, W, 1)
+        hs3 = hs.reshape(B, W, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+        h_cm = jnp.zeros((B, C), jnp.float32)
+        for w_ in range(W):
+            h_cm = jnp.where(
+                lane == w_, jnp.broadcast_to(he3[:, w_, :], (B, C)), h_cm
+            )
+            h_cm = jnp.where(
+                lane == W + w_,
+                jnp.broadcast_to(hs3[:, w_, :], (B, C)), h_cm,
+            )
+        rep2v = lambda x: pltpu.repeat(x, 2, axis=1)
+        lp2 = rep2v(lp_ref[:][:, 0, :])
+        fin2 = rep2v(fin_ref[:][:, 0, :])
+        t2 = rep2v(t_ref[:][:, 0, :])
+        u2 = rep2v(u_ref[:][:, 0, :])
+        il = il_ref[:][:, 0, :]
+        pred, clp, cnt, cnu, cfin, parent, hit3 = (
+            _v1_candidates_from_vals(
+                h_cm, lp2, fin2 != 0, t2, u2, il, W
+            )
+        )
+        branch = _pick_i32(hit3, parent)
+        opred_ref[:] = _pick_i32(hit3, pred)[:, None, :]
+        olp_ref[:] = _pick_f32(hit3, clp)[:, None, :]
+        ont_ref[:] = _pick_i32(hit3, cnt)[:, None, :]
+        onu_ref[:] = _pick_i32(hit3, cnu)[:, None, :]
+        nfin = _pick_i32(hit3, cfin.astype(jnp.int32))
+        ofin_ref[:] = nfin[:, None, :]
+        obr_ref[:] = branch[:, None, :]
+        # Frame source position = parent's t before the step.
+        othist_ref[:] = _pick_i32(hit3, t2)[:, None, :]
+        # Sublane-layout masks for the mel finalize (keepdims picks; no
+        # lane<->sublane relayout).
+        nfin_sub = jnp.sum(
+            jnp.where(hit3, cfin.astype(jnp.int32)[:, None, :], 0),
+            axis=2, keepdims=True,
+        )
+        finprev_sub = jnp.sum(
+            jnp.where(hit3, fin2[:, None, :], 0), axis=2, keepdims=True
+        )
+        mel_r = _reorder_rows(mel.reshape(B, W, M), branch, W)
+        pm_r = _reorder_rows(pm_ref[:], branch, W)
+        st_r = _reorder_rows(new_h.reshape(B, W, H), branch, W)
+        # Finished beams emit no new frame; keep their last mel
+        # (parallel.decode.beam_decode's post-step where).
+        keep_old = (nfin_sub == 1) & (finprev_sub == 1)
+        omel_ref[:] = jnp.where(keep_old, pm_r, mel_r)
+        ostate_ref[:] = st_r
+
+    return kernel
+
+
+def fused_v1_beam_step(
+    gath: jax.Array,
+    prev_mel: jax.Array,
+    state: jax.Array,
+    log_prob: jax.Array,
+    is_finished: jax.Array,
+    t: jax.Array,
+    u: jax.Array,
+    input_length3: jax.Array,
+    fw: V1FusedWeights,
+    *,
+    dtype=jnp.bfloat16,
+):
+    """One fused v1 decode step.
+
+    gath (B, W, 2R+2+M) f32: stepmath.v1_enc_pack rows gathered at each
+    beam's t (the one XLA dispatch left in the scan body);
+    prev_mel (B, W, M) f32; state (B, W, H) f32; log_prob (B, 1, W) f32;
+    is_finished/t/u (B, 1, W) i32; input_length3 (B, 1, 1) i32.
+
+    Returns (pred, lp, nt, nu, nfin, branch, t_hist) each (B, 1, W),
+    mel (B, W, M) f32 (finalized: finished beams keep their last frame),
+    state (B, W, H) f32 (parent-reordered)."""
+    B, W, H = state.shape
+    M = prev_mel.shape[2]
+    R2 = gath.shape[2] - 2 - M
+    kernel = _make_v1_fused_kernel(W, M, H, R2, jnp.dtype(dtype))
+    bb = _fused_block(B, 2 * W, W, H)
+    row = lambda w_: pl.BlockSpec((bb, 1, w_), lambda i: (i, 0, 0))
+    sub = lambda n_, w_: pl.BlockSpec((bb, n_, w_), lambda i: (i, 0, 0))
+    full2 = lambda a, b_: pl.BlockSpec((a, b_), lambda i: (0, 0))
+    H3 = fw.wi.shape[1]
+    R = R2 // 2
+    in_specs = [
+        sub(W, R2 + 2 + M), sub(W, M), sub(W, H),
+        row(W), row(W), row(W), row(W), row(1),
+        full2(M, H), full2(1, H), full2(H, H), full2(1, H),
+        full2(H, H3), full2(1, H3), full2(H, H3), full2(1, H),
+        full2(H, R), full2(1, R), full2(R, R2), full2(1, R2),
+        full2(H, 2), full2(1, 2), full2(H, M), full2(1, M),
+    ]
+    out_specs = [row(W)] * 7 + [sub(W, M), sub(W, H)]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 1, W), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, W), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1, W), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, W), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, W), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, W), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, W), jnp.int32),
+        jax.ShapeDtypeStruct((B, W, M), jnp.float32),
+        jax.ShapeDtypeStruct((B, W, H), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(
+        gath.astype(jnp.float32), prev_mel.astype(jnp.float32),
+        state.astype(jnp.float32), log_prob.astype(jnp.float32),
+        is_finished.astype(jnp.int32), t.astype(jnp.int32),
+        u.astype(jnp.int32), input_length3, *fw,
+    )

@@ -113,7 +113,20 @@ def _v1_candidates_and_hit(
     t = rep2(t_ref)
     u = rep2(u_ref)
     il = il_ref[:][:, 0, :]  # (B, 1)
+    return _v1_candidates_from_vals(h, lp, fin, t, u, il, W_out)
 
+
+def _v1_candidates_from_vals(h, lp, fin, t, u, il, W_out):
+    """v1 candidate grid + selection over ALREADY class-major-expanded
+    (B, C=2W) lane values (emit lanes [0, W), shift lanes [W, 2W); each
+    parent's state repeated). Shared by the beam-only kernels (which
+    expand from refs via pltpu.repeat) and the round-5 model-fused v1
+    kernel (ops/beam_fused.py). Returns (pred, clp, cnt, cnu, cfin,
+    parent, hit3) plus the repeated parent (fin, t) via closure-free
+    composition — callers that need fin_prev/t_hist pick them from the
+    same hit3 against their own expansions."""
+    B, C = h.shape
+    W = C // 2
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
     is_shift = pos >= W      # class k = pos // W for D = 2
     parent = pos - jnp.where(is_shift, W, 0)  # pos % W

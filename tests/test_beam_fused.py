@@ -191,3 +191,64 @@ def test_fused_v2_under_jit_and_grad_free():
 
     out = run(params, toks, il, ol)
     assert out.shape == (4, 8)
+
+
+@pytest.mark.parametrize("beam_width", [8, 4])
+def test_fused_v1_decode_equals_xla(beam_width):
+    """Round-5 v1 model fusion: discrete outputs equal, mel bit-exact,
+    log-probs within f32 dot-shape association noise (~1 ulp)."""
+    cfg, model, params, toks, il, ol, U, rng = _setup()
+    kw = dict(max_frames=U, beam_width=beam_width)
+    out_x = decode_lib.beam_decode(
+        model, params, toks, il, fuse_model=False, use_pallas=False, **kw
+    )
+    out_f = decode_lib.beam_decode(
+        model, params, toks, il, fuse_model=True, **kw
+    )
+    for k in ["alignment", "beam_branch", "t_history", "prediction",
+              "num_frames", "mel"]:
+        np.testing.assert_array_equal(
+            np.asarray(out_x[k]), np.asarray(out_f[k]), err_msg=k
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_x["log_prob"]), np.asarray(out_f["log_prob"]),
+        rtol=0, atol=2e-6,
+    )
+
+
+def test_v1_step_math_matches_flax():
+    """stepmath.v1_step_math + v1_enc_pack reproduce
+    SSNTModel.decode_step on gathered rows (f32 model: exact up to
+    dot-shape association; state/mel bitwise)."""
+    cfg, model, params, toks, il, ol, U, rng = _setup()
+    B, T = toks.shape
+    W = 8
+    enc = model.apply(params, toks, il, method=model.encode)
+    dt = jnp.dtype(cfg.dtype)
+    w = stepmath.extract_v1_step_weights(params)
+    pack = stepmath.v1_enc_pack(w, enc, dt)
+    state = jnp.asarray(
+        rng.normal(0, 1, (B, W, cfg.decoder_dim)), jnp.float32
+    )
+    pm = jnp.asarray(rng.normal(0, 1, (B, W, cfg.mel_dim)), jnp.float32)
+    t = jnp.asarray(rng.integers(0, T, (B, W)), jnp.int32)
+    h_ref, ns_ref, mel_ref = model.apply(
+        params, enc, jnp.clip(t, 0, T - 1), state, pm,
+        method=model.decode_step,
+    )
+    gath = jnp.take_along_axis(
+        pack, jnp.clip(t, 0, T - 1)[..., None], axis=1
+    ).reshape(B * W, -1)
+    he, hs, mel, ns = stepmath.v1_step_math(
+        w, gath, state.reshape(B * W, -1), pm.reshape(B * W, -1), dt
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ns_ref), np.asarray(ns.reshape(B, W, -1))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mel_ref), np.asarray(mel.reshape(B, W, -1))
+    )
+    h_my = jnp.concatenate([he, hs], axis=1).reshape(B, W, 2)
+    np.testing.assert_allclose(
+        np.asarray(h_ref), np.asarray(h_my), rtol=0, atol=2e-6
+    )
