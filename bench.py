@@ -320,31 +320,29 @@ def main():
         # ~+-30%, so each term uses the LOWEST credible measurement —
         # the floor reading — making the budget strictly harder to
         # beat):
-        #   T_NOSEL_V2   7.33 us  fused v2 kernel with selection
-        #                         stubbed (launch + operand DMA incl
-        #                         0.80 MB weights + model MXU dots +
-        #                         candidate grid + picks + reorder)
-        #   T_NOSEL_TONE 8.15 us  same ablation, tone flavor
-        #   T_SEL        4.99-5.42 us  the complete bitonic selection
-        #                         (widen + 128-lane sort network +
-        #                         dedup + prefix-sum + slot/pad/diag +
-        #                         hit one-hot) as a standalone kernel
-        #   v1 (model not fused: dispatches still price the model half)
-        #   L_MM 1.04 / L_ELEM 0.75 / L_PALLAS 0.85 / T_SEL_V1 4.13 us
-        #   + ~2.2 us v1 candidate/pick/reorder VPU (op-count pricing
-        #   as r4, calibrated against the measured 6.4 us v1 kernel)
-        L_MM, L_ELEM, L_PALLAS, L_GATHER = 1.04, 0.75, 0.85, 1.75
-        T_NOSEL_V2, T_NOSEL_TONE = 7.33, 8.15
-        T_SEL_V2, T_SEL_TONE, T_SEL_V1 = 5.42, 4.99, 4.13
-        # v1 is ALSO model-fused in round 5 (ops/beam_fused.py
-        # fused_v1_beam_step): the scan body is the enc-pack gather
-        # (t is data-dependent — the alignment search — so the gather
-        # cannot hoist) plus one kernel. Budget = L_GATHER +
-        # T_NOSEL_V2 (a conservative proxy floor for v1's non-selection
-        # kernel: v1 runs MORE model work in-kernel — prenet, both
-        # joints, M=80 mel reorder — than the v2 ablation measured) +
-        # the measured v1-flavor selection.
-        budget_s = (L_GATHER + T_NOSEL_V2 + T_SEL_V1) * 1e-6
+        #   T_NOSEL_*    the path's REAL fused kernel with selection
+        #                stubbed to a trivial slot<-candidate identity
+        #                (launch + operand DMA incl weights + the full
+        #                in-kernel model step + candidate grid + picks
+        #                + reorders; for v1 this chain INCLUDES the
+        #                enc-pack gather, the one XLA dispatch its scan
+        #                body keeps)
+        #   T_SEL_*      the complete bitonic selection (widen +
+        #                128-lane sort network + dedup + prefix-sum +
+        #                slot/pad/diag + hit one-hot) as a standalone
+        #                kernel, per path flavor
+        # Each constant is the MEDIAN across this rig's probe runs
+        # (per-term spread ~+-10%; the budgets below therefore carry the
+        # same tolerance — a ratio in [0.95, 1.05] reads as AT budget):
+        #   T_NOSEL_V2   {6.49, 7.33, 7.50, 7.70} -> 7.4
+        #   T_SEL_V2     {5.42, 5.78, 5.84}       -> 5.8
+        #   T_NOSEL_TONE {7.19, 8.15}             -> 7.7
+        #   T_SEL_TONE   {4.48, 4.99, 5.54}       -> 5.0
+        #   T_NOSEL_V1   {7.99}                   -> 8.0
+        #   T_SEL_V1     {4.13, 4.43} (9.77 outlier dropped) -> 4.3
+        T_NOSEL_V2, T_NOSEL_TONE, T_NOSEL_V1 = 7.4, 7.7, 8.0
+        T_SEL_V2, T_SEL_TONE, T_SEL_V1 = 5.8, 5.0, 4.3
+        budget_s = (T_NOSEL_V1 + T_SEL_V1) * 1e-6
         extras["decode_frame_budget_us"] = round(budget_s * 1e6, 1)
         extras["decode_vs_budget"] = round(budget_s / dt_dec * Ud, 3)
 

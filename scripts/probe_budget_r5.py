@@ -338,3 +338,60 @@ log(f"T_noselect_tone = {t_tn*1e6:.2f} us")
 t_tf = run_fused_tone(False)
 log(f"T_full_tone     = {t_tf*1e6:.2f} us")
 log("done4")
+
+
+# ---- v1 fused ablation (replaces the T_NOSEL_V2 proxy in bench) ----
+def run_fused_v1(trivial):
+    from ssnt_tts_tpu.models import SSNTModel, stepmath
+    from ssnt_tts_tpu.ops import beam_fused
+    from ssnt_tts_tpu.parallel import train as train_lib
+    from ssnt_tts_tpu.utils.config import ModelConfig, TrainConfig
+
+    beam_fused._TRIVIAL_SELECT = trivial
+    cfg = ModelConfig(vocab_size=128, mel_dim=80, encoder_dim=256,
+                      encoder_layers=2, encoder_heads=4, decoder_dim=256,
+                      joint_rank=64)
+    model = SSNTModel(cfg)
+    rng = np.random.default_rng(0)
+    T = 80
+    M = 80
+    batch = {
+        "tokens": jnp.asarray(rng.integers(1, 128, (B, T)), jnp.int32),
+        "mel": jnp.asarray(rng.normal(0, 1, (B, 400, M)), jnp.float32),
+        "input_length": jnp.full((B,), T, jnp.int32),
+        "output_length": jnp.full((B,), 400, jnp.int32),
+    }
+    st0 = train_lib.init_train_state(
+        model, jax.random.PRNGKey(0), batch, TrainConfig(warmup_steps=2))
+    w1 = stepmath.extract_v1_step_weights(st0.params)
+    fw1 = beam_fused.prepare_v1_fused_weights(w1, jnp.bfloat16)
+    enc = jax.jit(lambda p: model.apply(
+        p, batch["tokens"], batch["input_length"],
+        method=model.encode))(st0.params)
+    pack = jax.jit(lambda e: stepmath.v1_enc_pack(
+        w1, e, jnp.bfloat16))(enc)
+    il3 = batch["input_length"].reshape(B, 1, 1)
+
+    def step(c):
+        t, u, lp, fin, st, pm = c
+        idx = jnp.clip(t[:, 0, :], 0, T - 1)
+        gath = jnp.take_along_axis(pack, idx[..., None], axis=1)
+        (pred, lp2, nt, nu, nfin, br, th, mel, st2) = (
+            beam_fused.fused_v1_beam_step(
+                gath, pm, st, lp, fin, t, u, il3, fw1,
+                dtype=jnp.bfloat16))
+        return (nt % T, nu % 16000, lp2, nfin, st2, mel)
+
+    c0 = (jnp.zeros((B, 1, W), jnp.int32), jnp.zeros((B, 1, W), jnp.int32),
+          jnp.zeros((B, 1, W), jnp.float32), jnp.zeros((B, 1, W), jnp.int32),
+          jnp.zeros((B, W, H), jnp.float32), jnp.zeros((B, W, M), jnp.float32))
+    dt = bench_step(step, c0, n_lo=8, n_hi=64)
+    beam_fused._TRIVIAL_SELECT = False
+    return dt
+
+
+t_v1n = run_fused_v1(True)
+log(f"T_noselect_v1 = {t_v1n*1e6:.2f} us (includes the enc-pack gather)")
+t_v1f = run_fused_v1(False)
+log(f"T_full_v1     = {t_v1f*1e6:.2f} us")
+log("done5")

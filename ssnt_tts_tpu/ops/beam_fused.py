@@ -595,11 +595,19 @@ def _make_v1_fused_kernel(W: int, M: int, H: int, R2: int, dtype):
         t2 = rep2v(t_ref[:][:, 0, :])
         u2 = rep2v(u_ref[:][:, 0, :])
         il = il_ref[:][:, 0, :]
-        pred, clp, cnt, cnu, cfin, parent, hit3 = (
-            _v1_candidates_from_vals(
-                h_cm, lp2, fin2 != 0, t2, u2, il, W
+        if _TRIVIAL_SELECT:
+            from ssnt_tts_tpu.ops.beam_pallas import _v1_candidates_core
+            pred, clp, cnt, cnu, cfin, parent, hit3 = (
+                _v1_candidates_core(
+                    h_cm, lp2, fin2 != 0, t2, u2, il, W, trivial=True
+                )
             )
-        )
+        else:
+            pred, clp, cnt, cnu, cfin, parent, hit3 = (
+                _v1_candidates_from_vals(
+                    h_cm, lp2, fin2 != 0, t2, u2, il, W
+                )
+            )
         branch = _pick_i32(hit3, parent)
         opred_ref[:] = _pick_i32(hit3, pred)[:, None, :]
         olp_ref[:] = _pick_f32(hit3, clp)[:, None, :]

@@ -164,6 +164,36 @@ def _v1_candidates_from_vals(h, lp, fin, t, u, il, W_out):
     return pred, clp, cnt, cnu, cfin, parent, hit3
 
 
+def _v1_candidates_core(h, lp, fin, t, u, il, W_out, trivial=False):
+    """_v1_candidates_from_vals with an optional trivial-selection
+    ablation (budget probes only: slot j <- candidate with gen j)."""
+    if not trivial:
+        return _v1_candidates_from_vals(h, lp, fin, t, u, il, W_out)
+    B, C = h.shape
+    W = C // 2
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    is_shift = pos >= W
+    parent = pos - jnp.where(is_shift, W, 0)
+    gen = parent * 2 + is_shift.astype(jnp.int32)
+    active = (t >= 0) & (t < il) & (~fin)
+    last = t == il - 1
+    e_lp = jnp.where(active, lp + h, lp)
+    e_fin = ~(active & ~last)
+    e_nu = jnp.where(active & ~last, u + 1, u)
+    s_pred = jnp.where(last, 0, 1)
+    s_lp = jnp.where(last, lp, lp + h)
+    s_nt = jnp.where(last, t, t + 1)
+    s_nu = jnp.where(last, u, u + 1)
+    pred = jnp.where(is_shift, s_pred, 0)
+    clp = jnp.where(is_shift, s_lp, e_lp)
+    cfin = (is_shift & last) | (~is_shift & e_fin)
+    cnt = jnp.where(is_shift, s_nt, t)
+    cnu = jnp.where(is_shift, s_nu, e_nu)
+    j = jax.lax.broadcasted_iota(jnp.int32, (B, W_out), 1)
+    hit3 = gen[:, None, :] == j[:, :, None]
+    return pred, clp, cnt, cnu, cfin, parent, hit3
+
+
 def _pick_f32(hit3, x):
     return jnp.sum(jnp.where(hit3, x[:, None, :], 0.0), axis=2)
 
