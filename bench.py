@@ -338,10 +338,10 @@ def main():
         #   T_SEL_V2     {5.42, 5.78, 5.84}       -> 5.8
         #   T_NOSEL_TONE {7.19, 8.15}             -> 7.7
         #   T_SEL_TONE   {4.48, 4.99, 5.54}       -> 5.0
-        #   T_NOSEL_V1   {7.99}                   -> 8.0
-        #   T_SEL_V1     {4.13, 4.43} (9.77 outlier dropped) -> 4.3
+        #   T_NOSEL_V1   {7.91, 7.99}             -> 8.0
+        #   T_SEL_V1     {4.13, 4.43, 5.41} (9.77 outlier dropped) -> 4.4
         T_NOSEL_V2, T_NOSEL_TONE, T_NOSEL_V1 = 7.4, 7.7, 8.0
-        T_SEL_V2, T_SEL_TONE, T_SEL_V1 = 5.8, 5.0, 4.3
+        T_SEL_V2, T_SEL_TONE, T_SEL_V1 = 5.8, 5.0, 4.4
         budget_s = (T_NOSEL_V1 + T_SEL_V1) * 1e-6
         extras["decode_frame_budget_us"] = round(budget_s * 1e6, 1)
         extras["decode_vs_budget"] = round(budget_s / dt_dec * Ud, 3)
