@@ -1,11 +1,17 @@
-"""Fused Pallas kernel for the v1 beam-search step (decode latency path).
+"""Fused Pallas kernels for the beam-search steps (decode latency path).
 
 The XLA formulation of one beam step (ops/beam_v1.py + ops/beam_common.py)
 is ~40 small HLOs on (B, W)/(B, C, C) tensors; inside the decode `lax.scan`
 each op is a serial dispatch on a core that finishes the actual vector work
 in nanoseconds, so the step cost is dominated by op count
-(docs/DECODE_PROFILE.md). This kernel collapses candidate construction +
-sort-free selection into ONE launch.
+(docs/DECODE_PROFILE.md). These kernels collapse candidate construction +
+selection into ONE launch. Since round 5 the selection itself is a
+128-lane BITONIC SORT NETWORK (_select_bitonic — (lp desc, gen asc) is a
+strict total order, so it reproduces the reference's stable sort exactly,
+~5x cheaper than the pairwise-rank algebra it replaced, which is kept as
+_select_sort_free/_select_sort_free_tiled for conformance cross-checks);
+the model-FUSED kernels that additionally run the AR model step in the
+same launch live in ops/beam_fused.py and are the TPU decode defaults.
 
 Semantics are ops/beam_v1.beam_search_step exactly (reference:
 /root/reference/src/lib.rs:149-230, sort/dedup/pad :160-169):
